@@ -1,0 +1,113 @@
+"""ctypes binding (with on-demand g++ build) for the native front-end kernel.
+
+The shared object is compiled once per source change into
+``_native/build/`` and memoized. If no C++ toolchain is available the
+import fails and callers fall back to the NumPy implementation —
+`frontend.pretokenize.split_bounds` handles the dispatch.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "pretok.cpp")
+_BUILD_DIR = os.path.join(_DIR, "build")
+
+_lib: Optional[ctypes.CDLL] = None
+_packed_ws = None
+_packed_punct = None
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_BUILD_DIR, f"pretok-{digest}.so")
+
+
+def _build(so_path: str) -> None:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    # Build into a temp file then rename, so concurrent builders are safe.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_BUILD_DIR)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", tmp],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp, so_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib, _packed_ws, _packed_punct
+    if _lib is not None:
+        return _lib
+    so_path = _so_path()
+    if not os.path.exists(so_path):
+        _build(so_path)
+    lib = ctypes.CDLL(so_path)
+    i64 = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.swt_split_bounds.restype = i64
+    lib.swt_split_bounds.argtypes = [u32p, i64, u8p, u8p, i64p, i64p]
+    lib.swt_split_corpus.restype = i64
+    lib.swt_split_corpus.argtypes = [u32p, i64p, i64, u8p, u8p, i64p, i64p,
+                                     i32p]
+    from ..frontend.charclass import PUNCT_HF, WS_HF
+    _packed_ws = np.ascontiguousarray(np.packbits(WS_HF))
+    _packed_punct = np.ascontiguousarray(np.packbits(PUNCT_HF))
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def split_bounds(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Native single-sentence split; same contract as the NumPy version."""
+    lib = _load()
+    cps = np.ascontiguousarray(cps, dtype=np.uint32)
+    n = cps.shape[0]
+    starts = np.empty(n, dtype=np.int64)
+    ends = np.empty(n, dtype=np.int64)
+    count = lib.swt_split_bounds(
+        _ptr(cps, ctypes.c_uint32), n,
+        _ptr(_packed_ws, ctypes.c_uint8), _ptr(_packed_punct, ctypes.c_uint8),
+        _ptr(starts, ctypes.c_int64), _ptr(ends, ctypes.c_int64))
+    return starts[:count], ends[:count]
+
+
+def split_corpus(cps: np.ndarray, sent_cp_off: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native batched split over a sentence-concatenated codepoint array.
+
+    Returns (word_start, word_end, sent_id) with global offsets.
+    """
+    lib = _load()
+    cps = np.ascontiguousarray(cps, dtype=np.uint32)
+    sent_cp_off = np.ascontiguousarray(sent_cp_off, dtype=np.int64)
+    n_sent = sent_cp_off.shape[0] - 1
+    cap = int(sent_cp_off[-1]) if n_sent >= 0 else 0
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    sids = np.empty(cap, dtype=np.int32)
+    count = lib.swt_split_corpus(
+        _ptr(cps, ctypes.c_uint32), _ptr(sent_cp_off, ctypes.c_int64), n_sent,
+        _ptr(_packed_ws, ctypes.c_uint8), _ptr(_packed_punct, ctypes.c_uint8),
+        _ptr(starts, ctypes.c_int64), _ptr(ends, ctypes.c_int64),
+        _ptr(sids, ctypes.c_int32))
+    return starts[:count], ends[:count], sids[:count]
