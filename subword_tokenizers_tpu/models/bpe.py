@@ -1,0 +1,345 @@
+"""BPE tokenizers: NaiveBPE (training + sequential-merge encoding semantics)
+and FastBPE (rank-map greedy encoding), TPU-native.
+
+Semantics are bit-compatible with the reference (source/bpe.py); the
+implementation is not a port:
+
+- **Training** runs on device: each merge step is one fused XLA program
+  (pair pack → lexicographic sort → run aggregation → exact argmax with
+  Counter-order tie-break) followed by a vectorized merge application over
+  the whole padded word-type tensor (ops/pairstats.py, ops/merge.py). The
+  host only interns the winning pair's strings — string interning is what
+  reproduces the reference's set-of-strings vocabulary semantics
+  (source/bpe.py:103).
+- **Encoding** has a batched device path (`tokenize_batch`) that encodes
+  every unique word of a corpus simultaneously (ops/bpe_encode.py), and a
+  host path for single sentences. NaiveBPE's "apply every merge in order"
+  (source/bpe.py:124-127) is realized as a cursor-monotone greedy loop —
+  provably identical output, O(len) instead of O(#merges) per word.
+
+Resource format is byte-compatible: ``merges.json`` = ordered JSON list of
+[a, b] pairs (source/bpe.py:167-189); loading a missing file is a silent
+no-op like the reference (quirk preserved for CLI parity; see
+``strict_resources``).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.corpus import build_bpe_corpus, unique_words
+from ..core.symbols import SymbolTable
+from .base import SubwordTokenizer
+
+MAX_TOKENS_I33 = 1 << 33  # pair counts must fit the exact-select domain
+
+
+def _merge_pass(pair: Tuple[str, str], word: List[str]) -> List[str]:
+    """One left-to-right non-overlapping replacement pass
+    (reference semantics: source/bpe.py:25-48)."""
+    merged = pair[0] + pair[1]
+    out: List[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        if i < n - 1 and word[i] == pair[0] and word[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+class NaiveBPE(SubwordTokenizer):
+    """BPE with the reference's naive-encoder semantics, trained on device."""
+
+    def __init__(self, tokenizer: Optional[object] = None) -> None:
+        super().__init__(tokenizer)
+        self.merges_list: List[Tuple[str, str]] = []
+        self.vocab: set = set()
+        self.corpus_as_symbols: List[Tuple[List[str], int]] = []
+        self._encode_cache: Dict[str, List[str]] = {}
+        self._device_tables = None
+
+    # ------------------------------------------------------------ training
+
+    def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:
+        """Learn merges until the vocabulary reaches ``max_vocab``
+        (reference: source/bpe.py:50-112). Runs the merge loop on device."""
+        if not isinstance(corpus, list) or not all(
+                isinstance(example, str) for example in corpus):
+            raise TypeError("Corpus must be a list of strings.")
+        if not isinstance(max_vocab, int):
+            raise TypeError("Maximum vocabulary size must be an integer.")
+
+        self.reset()
+
+        wb = self.preprocessing_batch(corpus)
+        words, freq, _ = unique_words(wb)
+        for w in words:
+            self.vocab.update(w)
+
+        if not words:
+            return
+
+        total_tokens = int((np.array([len(w) for w in words],
+                                     dtype=np.int64) * freq).sum())
+        if total_tokens >= MAX_TOKENS_I33:
+            raise ValueError(
+                "corpus exceeds the exact-selection domain "
+                f"({total_tokens} symbol occurrences >= 2**33)")
+
+        import jax.numpy as jnp
+        from ..ops.merge import apply_merge
+        from ..ops.pairstats import SYM_BITS, bpe_select
+
+        table = SymbolTable()
+        corpus_arrays = build_bpe_corpus(words, freq, table)
+        sym = jnp.asarray(corpus_arrays.sym)
+        freq_dev = jnp.asarray(corpus_arrays.freq)
+
+        while len(self.vocab) < max_vocab:
+            best_key, best_count, _ = bpe_select(sym, freq_dev)
+            if int(best_count) <= 0:
+                break
+            key = int(best_key)
+            a_id = key >> SYM_BITS
+            b_id = key & ((1 << SYM_BITS) - 1)
+            sa, sb = table.string(a_id), table.string(b_id)
+            merged = sa + sb
+            self.vocab.add(merged)
+            self.merges_list.append((sa, sb))
+            new_id = table.intern(merged)
+            sym = apply_merge(sym, a_id, b_id, new_id)
+
+        # Keep a host-side view of the final corpus state for parity with
+        # the reference's `corpus_as_symbols` (source/bpe.py:23).
+        sym_host = np.asarray(sym)
+        self.corpus_as_symbols = [
+            ([table.string(int(s)) for s in row if s >= 0], int(f))
+            for row, f in zip(sym_host, corpus_arrays.freq)
+        ]
+
+    # ------------------------------------------------------------ encoding
+
+    def _ranks_first(self) -> Dict[Tuple[str, str], int]:
+        ranks: Dict[Tuple[str, str], int] = {}
+        for i, p in enumerate(self.merges_list):
+            ranks.setdefault(p, i)
+        return ranks
+
+    def _has_duplicate_merges(self) -> bool:
+        return len(set(self.merges_list)) != len(self.merges_list)
+
+    def _encode_symbols(self, word: str) -> List[str]:
+        """Host encoder with NaiveBPE semantics (cursor-monotone greedy;
+        falls back to the literal sequential scan if the merge list
+        contains duplicate pairs, where the shortcut does not apply)."""
+        symbols = list(word)
+        if self._has_duplicate_merges():
+            for pair in self.merges_list:
+                symbols = _merge_pass(pair, symbols)
+            return symbols
+        ranks = self._ranks_first()
+        cursor = 0
+        while len(symbols) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and r >= cursor and (
+                        best_rank is None or r < best_rank):
+                    best_rank, best = r, (symbols[i], symbols[i + 1])
+            if best is None:
+                break
+            symbols = _merge_pass(best, symbols)
+            cursor = best_rank + 1
+        return symbols
+
+    def encode_word(self, word: str) -> List[str]:
+        """Encode one word; continuations get '##' prefixes
+        (reference: source/bpe.py:114-132)."""
+        symbols = self._encode_symbols(word)
+        if len(symbols) > 1:
+            symbols[1:] = ["##" + s for s in symbols[1:]]
+        return symbols
+
+    def tokenize(self, text: str) -> List[str]:
+        """Tokenize one sentence (reference: source/bpe.py:134-158)."""
+        if not isinstance(text, str):
+            raise TypeError("Text to tokenize must be a string.")
+        pre = self.preprocessing([text])[0]
+        cache = self._encode_cache
+        out: List[str] = []
+        for word, _ in pre:
+            toks = cache.get(word)
+            if toks is None:
+                toks = self.encode_word(word)
+                cache[word] = toks
+            out.extend(toks)
+        return out
+
+    # ------------------------------------------------- batched device path
+
+    def _build_device_tables(self):
+        """Sorted merge tables for the device encoder; cached."""
+        if self._device_tables is not None:
+            return self._device_tables
+        import jax.numpy as jnp
+        from ..ops.pairstats import SYM_BITS
+
+        table = SymbolTable()
+        entries = []  # (key, rank, out_id)
+        ranks = self._rank_map()
+        for pair, rank in ranks.items():
+            a = table.intern(pair[0])
+            b = table.intern(pair[1])
+            out = table.intern(pair[0] + pair[1])
+            entries.append(((a << SYM_BITS) | b, rank, out))
+        entries.sort()
+        if entries:
+            keys = np.asarray([e[0] for e in entries], dtype=np.int64)
+            rk = np.asarray([e[1] for e in entries], dtype=np.int32)
+            out = np.asarray([e[2] for e in entries], dtype=np.int32)
+        else:
+            keys = np.zeros(0, dtype=np.int64)
+            rk = np.zeros(0, dtype=np.int32)
+            out = np.zeros(0, dtype=np.int32)
+        self._device_tables = (table, jnp.asarray(keys), jnp.asarray(rk),
+                               jnp.asarray(out))
+        return self._device_tables
+
+    def _rank_map(self) -> Dict[Tuple[str, str], int]:
+        return self._ranks_first()
+
+    _MONOTONE = True
+
+    def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
+        """Encode unique words as one batched device call."""
+        import jax.numpy as jnp
+        from ..ops.bpe_encode import bpe_encode
+
+        if self._has_duplicate_merges():
+            return [self.encode_word(w) for w in words]
+        table, keys, rk, out = self._build_device_tables()
+        max_len = max((len(w) for w in words), default=1)
+        W = len(words)
+        sym = np.full((W, max(max_len, 2)), -1, dtype=np.int32)
+        for i, w in enumerate(words):
+            for j, ch in enumerate(w):
+                sid = table.get(ch)
+                if sid is None:
+                    # Unseen char: fresh id, participates in no merge.
+                    sid = table.intern(ch)
+                sym[i, j] = sid
+        # Re-fetch tables in case interning grew the table (ids only —
+        # merge arrays are unaffected by new symbols).
+        merged = np.asarray(bpe_encode(jnp.asarray(sym), keys, rk, out,
+                                       self._MONOTONE))
+        results: List[List[str]] = []
+        for i, w in enumerate(words):
+            ids = [int(s) for s in merged[i] if s >= 0]
+            toks = [table.string(s) for s in ids]
+            if not toks and not self._MONOTONE:
+                toks = [""]
+            if len(toks) > 1:
+                toks[1:] = ["##" + t for t in toks[1:]]
+            results.append(toks)
+        return results
+
+    def tokenize_batch(self, corpus: List[str]) -> List[List[str]]:
+        """Tokenize a corpus through the batched device encoder; output is
+        identical to per-sentence `tokenize` but every unique word is
+        encoded exactly once, on device."""
+        wb = self.preprocessing_batch(corpus)
+        words, _, inverse = unique_words(wb)
+        encoded = self._encode_unique_device(words)
+        out: List[List[str]] = [[] for _ in range(len(corpus))]
+        for occ in range(wb.n_words):
+            out[int(wb.sent_id[occ])].extend(encoded[inverse[occ]])
+        return out
+
+    # ------------------------------------------------------------- state io
+
+    def reset(self) -> None:
+        """Reset all learned state (reference: source/bpe.py:160-164)."""
+        self.merges_list.clear()
+        self.vocab.clear()
+        self.corpus_as_symbols.clear()
+        self._encode_cache = {}
+        self._device_tables = None
+
+    def save_resources(self, path: str) -> None:
+        """Write ``merges.json`` (reference format, source/bpe.py:167-177)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "merges.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(self.merges_list, f, ensure_ascii=False)
+
+    def load_resources(self, path: str) -> None:
+        """Load ``merges.json``; missing file is a silent no-op
+        (reference quirk: source/bpe.py:179-189)."""
+        merges_file = os.path.join(path, "merges.json")
+        if os.path.isfile(merges_file):
+            with open(merges_file, "r", encoding="utf-8") as f:
+                self.merges_list = [tuple(pair) for pair in json.load(f)]
+            self._encode_cache = {}
+            self._device_tables = None
+
+
+class FastBPE(NaiveBPE):
+    """Inference-optimized BPE: greedy lowest-rank merging
+    (reference: source/bpe.py:192-263)."""
+
+    _MONOTONE = False
+
+    def __init__(self, tokenizer: Optional[object] = None) -> None:
+        super().__init__(tokenizer)
+        self._bpe_ranks: Dict[Tuple[str, str], int] = {}
+
+    def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:
+        super().train(corpus, max_vocab)
+        self._bpe_ranks = {pair: i for i, pair in
+                           enumerate(self.merges_list)}
+
+    def _rank_map(self) -> Dict[Tuple[str, str], int]:
+        # Dict comprehension semantics: later duplicates overwrite.
+        return {pair: i for i, pair in enumerate(self.merges_list)}
+
+    def _has_duplicate_merges(self) -> bool:
+        # Greedy encoding uses dict ranks, so duplicates are harmless.
+        return False
+
+    def _encode_symbols(self, word: str) -> List[str]:
+        """Greedy lowest-rank merge loop (reference: source/bpe.py:205-238)."""
+        symbols = list(word)
+        if len(symbols) < 2:
+            return symbols  # caller handles the empty case
+        ranks = self._bpe_ranks or self._rank_map()
+        while len(symbols) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, (symbols[i], symbols[i + 1])
+            if best is None:
+                break
+            symbols = _merge_pass(best, symbols)
+        return symbols
+
+    def encode_word(self, word: str) -> List[str]:
+        symbols = self._encode_symbols(word)
+        if not symbols:
+            return [""]
+        if len(symbols) > 1:
+            symbols[1:] = ["##" + s for s in symbols[1:]]
+        return symbols
+
+    def load_resources(self, path: str) -> None:
+        super().load_resources(path)
+        self._bpe_ranks = {pair: i for i, pair in
+                           enumerate(self.merges_list)}
