@@ -1,0 +1,412 @@
+"""WordPiece tokenizers: NaiveWP (training + greedy longest-match encoding)
+and FastWP (linear-time end-to-end trie scan), TPU-native.
+
+Bit-compatible with the reference (source/wordpiece.py) including its
+quirks; the implementation is array/automaton based, not a port:
+
+- **Training** runs on device like BPE, with the score
+  ``pair_freq / (freq_a * freq_b)`` (source/wordpiece.py:84-87) selected by
+  *exact IEEE-double bits* computed in integer arithmetic
+  (ops/bitmath.py), so Python float ties — and therefore the
+  dict-insertion-order tie-break (source/wordpiece.py:92) — are reproduced
+  exactly. Merged tokens are ``a + b[2:]`` with only the vocabulary
+  persisted (merges are not recorded), matching source/wordpiece.py:95-96.
+- **NaiveWP encoding**: greedy longest-prefix-in-vocab with '##'
+  continuation prefixes and whole-word ``[UNK]`` fallback
+  (source/wordpiece.py:131-158); batched on device via
+  ops/wp_encode.wp_match_encode.
+- **FastWP encoding**: end-to-end LinMaxMatch over the raw lowered text
+  (NOT the pre-tokenizer — source/wordpiece.py:248), with failure
+  links/pops, boundary checks in *Python* char classes
+  (source/wordpiece.py:272-288), the literal ``"['UNK']"`` token (a
+  different string than NaiveWP's ``"[UNK]"`` — quirk preserved,
+  source/wordpiece.py:257), and the ``root_sharp`` corner case
+  (source/wordpiece.py:260-261); batched on device via
+  ops/wp_encode.wp_e2e_encode.
+
+Resource format is byte-compatible: ``vocab.json`` = JSON list of the
+vocabulary set (membership is the contract; source/wordpiece.py:186-208).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.corpus import build_wp_corpus, unique_words
+from ..core.symbols import SymbolTable
+from ..frontend.charclass import PUNC_PY, WS_PY, codepoints
+from .base import SubwordTokenizer
+from .trie import E2ETrie, MatchTrie
+
+MAX_TOKENS_WP = 1 << 26  # exact-double score domain: fa*fb < 2**53
+
+UNK = "[UNK]"
+UNK_E2E = "['UNK']"  # FastWP's literal quirk (source/wordpiece.py:257)
+
+
+class NaiveWP(SubwordTokenizer):
+    """WordPiece with greedy longest-match encoding, trained on device."""
+
+    def __init__(self, tokenizer: Optional[object] = None) -> None:
+        super().__init__(tokenizer)
+        self.vocab: set = set()
+        self.corpus_as_symbols: List[Tuple[List[str], int]] = []
+        self._encode_cache: Dict[str, List[str]] = {}
+        self._match_trie = None
+        self._match_out: Optional[SymbolTable] = None
+
+    # ------------------------------------------------------------ training
+
+    def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:
+        """Learn the vocabulary by likelihood-scored merges
+        (reference: source/wordpiece.py:29-103); merge loop on device."""
+        if not isinstance(corpus, list) or not all(
+                isinstance(example, str) for example in corpus):
+            raise TypeError("corpus must be a list of strings.")
+        if not isinstance(max_vocab, int):
+            raise TypeError("max_vocab must be an int.")
+
+        self.reset()
+
+        wb = self.preprocessing_batch(corpus)
+        words, freq, _ = unique_words(wb)
+        if not words:
+            return
+
+        total_tokens = int((np.array([len(w) for w in words],
+                                     dtype=np.int64) * freq).sum())
+        if total_tokens >= MAX_TOKENS_WP:
+            raise ValueError(
+                "corpus exceeds the exact-score domain "
+                f"({total_tokens} symbol occurrences >= 2**26)")
+
+        import jax.numpy as jnp
+        from ..ops.merge import apply_merge
+        from ..ops.pairstats import SYM_BITS, wp_select
+
+        table = SymbolTable()
+        corpus_arrays = build_wp_corpus(words, freq, table)
+        self.vocab |= set(table.strings())
+
+        sym = jnp.asarray(corpus_arrays.sym)
+        freq_dev = jnp.asarray(corpus_arrays.freq)
+        sym_cap = len(table) + max(max_vocab - len(self.vocab), 0) + 8
+
+        while len(self.vocab) < max_vocab:
+            best_key, _, _, best_count = wp_select(sym, freq_dev, sym_cap)
+            if int(best_count) <= 0:
+                break
+            key = int(best_key)
+            a_id = key >> SYM_BITS
+            b_id = key & ((1 << SYM_BITS) - 1)
+            sa, sb = table.string(a_id), table.string(b_id)
+            merged = sa + sb[2:]
+            self.vocab.add(merged)
+            new_id = table.intern(merged)
+            sym = apply_merge(sym, a_id, b_id, new_id)
+
+        sym_host = np.asarray(sym)
+        self.corpus_as_symbols = [
+            ([table.string(int(s)) for s in row if s >= 0], int(f))
+            for row, f in zip(sym_host, corpus_arrays.freq)
+        ]
+
+    # ------------------------------------------------------------ encoding
+
+    def encode_word(self, word: str) -> List[str]:
+        """Greedy longest-prefix encoding
+        (reference: source/wordpiece.py:131-158).
+
+        Guarded against the reference's non-termination pathology: with
+        ``"#"`` in the vocabulary but ``"##"`` absent, the remainder can
+        grow by one '#' per step forever; we raise instead of hanging.
+        """
+        tokens: List[str] = []
+        limit = 4 * len(word) + 64
+        steps = 0
+        while len(word) > 0:
+            steps += 1
+            if steps > limit:
+                raise RuntimeError(
+                    "greedy WordPiece encoding does not terminate on "
+                    f"{word[:16]!r}... with this vocabulary (the reference "
+                    "implementation would hang here)")
+            i = len(word)
+            while i > 0 and word[:i] not in self.vocab:
+                i -= 1
+            if i == 0:
+                return [UNK]
+            tokens.append(word[:i])
+            word = word[i:]
+            if len(word) > 0:
+                word = f"##{word}"
+        return tokens
+
+    def tokenize(self, text: str) -> List[str]:
+        """Tokenize one sentence (reference: source/wordpiece.py:160-179)."""
+        if not isinstance(text, str):
+            raise TypeError("Text to tokenize must be a string.")
+        pre = self.preprocessing([text])[0]
+        cache = self._encode_cache
+        out: List[str] = []
+        for word, _ in pre:
+            toks = cache.get(word)
+            if toks is None:
+                toks = self.encode_word(word)
+                cache[word] = toks
+            out.extend(toks)
+        return out
+
+    # ------------------------------------------------- batched device path
+
+    def _build_match_trie(self):
+        if self._match_trie is None:
+            out = SymbolTable()
+            out.intern(UNK)
+            self._match_trie = MatchTrie.build(sorted(self.vocab), out)
+            self._match_out = out
+        return self._match_trie, self._match_out
+
+    def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
+        import jax.numpy as jnp
+        from ..ops.wp_encode import wp_match_encode
+
+        trie, out_table = self._build_match_trie()
+        W = len(words)
+        L = max(2, max((len(w) for w in words), default=1))
+        wmat = np.full((W, L), -1, dtype=np.int32)
+        wlen = np.zeros((W,), dtype=np.int32)
+        for i, w in enumerate(words):
+            wlen[i] = len(w)
+            for j, c in enumerate(w):
+                wmat[i, j] = ord(c)
+        out, out_n, unk, ovf = wp_match_encode(
+            jnp.asarray(wmat), jnp.asarray(wlen),
+            jnp.asarray(trie.edge_keys), jnp.asarray(trie.edge_vals),
+            jnp.asarray(trie.accept))
+        out = np.asarray(out)
+        out_n = np.asarray(out_n)
+        unk = np.asarray(unk)
+        if bool(np.asarray(ovf).any()):
+            raise RuntimeError(
+                "wp_match_encode overflow: vocabulary drives the greedy "
+                "matcher into unbounded '#' growth (the reference would "
+                "not terminate on this input)")
+        results: List[List[str]] = []
+        for i in range(W):
+            if unk[i]:
+                results.append([UNK])
+            else:
+                results.append([out_table.string(int(t))
+                                for t in out[i, :out_n[i]]])
+        return results
+
+    def tokenize_batch(self, corpus: List[str]) -> List[List[str]]:
+        """Corpus tokenization through the batched device encoder."""
+        wb = self.preprocessing_batch(corpus)
+        words, _, inverse = unique_words(wb)
+        encoded = self._encode_unique_device(words)
+        out: List[List[str]] = [[] for _ in range(len(corpus))]
+        for occ in range(wb.n_words):
+            out[int(wb.sent_id[occ])].extend(encoded[inverse[occ]])
+        return out
+
+    # ------------------------------------------------------------- state io
+
+    def reset(self) -> None:
+        """Reset all learned state (reference: source/wordpiece.py:181-184)."""
+        self.vocab.clear()
+        self.corpus_as_symbols.clear()
+        self._encode_cache = {}
+        self._match_trie = None
+        self._match_out = None
+
+    def save_resources(self, path: str) -> None:
+        """Write ``vocab.json`` (reference format,
+        source/wordpiece.py:186-196)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(list(self.vocab), f, ensure_ascii=False)
+
+    def load_resources(self, path: str) -> None:
+        """Load ``vocab.json``; missing file is a silent no-op
+        (reference quirk: source/wordpiece.py:198-208)."""
+        vocab_file = os.path.join(path, "vocab.json")
+        if os.path.isfile(vocab_file):
+            with open(vocab_file, "r", encoding="utf-8") as f:
+                self.vocab = set(json.load(f))
+            self._encode_cache = {}
+            self._match_trie = None
+            self._match_out = None
+
+
+class FastWP(NaiveWP):
+    """End-to-end WordPiece: linear-time trie scan with punctuation-aware
+    boundaries (reference: source/wordpiece.py:211-330)."""
+
+    def __init__(self, tokenizer: Optional[object] = None) -> None:
+        super().__init__(tokenizer)
+        self._e2e_trie: Optional[E2ETrie] = None
+        self._e2e_out: Optional[SymbolTable] = None
+        self._sharp_seq: Optional[Tuple[int, ...]] = None
+        self._unk_id: Optional[int] = None
+
+    # ------------------------------------------------------------ training
+
+    def train(self, corpus, max_vocab: int = 30_000) -> None:
+        super().train(corpus, max_vocab)
+        self._build_e2e()
+
+    def _build_e2e(self):
+        out = SymbolTable()
+        self._unk_id = out.intern(UNK_E2E)
+        trie = E2ETrie.build(self.vocab, out)
+        # Corner case constant: NaiveWP encoding of "##"
+        # (reference: source/wordpiece.py:260-261). May be non-terminating
+        # for pathological vocabularies (see encode_word); poison it so the
+        # error only fires if the corner case is actually reached.
+        try:
+            self._sharp_seq = tuple(out.intern(t)
+                                    for t in NaiveWP.encode_word(self, "##"))
+        except RuntimeError:
+            self._sharp_seq = None
+        self._e2e_trie = trie
+        self._e2e_out = out
+        return trie, out
+
+    def _trie(self):
+        if self._e2e_trie is None:
+            self._build_e2e()
+        return self._e2e_trie, self._e2e_out
+
+    # ------------------------------------------------------------ encoding
+
+    def tokenize(self, text: str) -> List[str]:
+        """Single-sentence end-to-end scan on host
+        (semantics: source/wordpiece.py:233-316)."""
+        if not isinstance(text, str):
+            raise TypeError("Text to tokenize must be a string.")
+        trie, out_table = self._trie()
+        s = text.lower() + " "
+        cps = codepoints(s)
+        n = len(cps)
+        is_sp = WS_PY[cps]
+        is_pc = PUNC_PY[cps]
+        keys, vals = trie.edge_keys, trie.edge_vals
+        fail, pops_off, pops_flat = trie.fail, trie.pops_off, trie.pops_flat
+        roots = {0, trie.root_sharp, trie.root_p}
+
+        def goto(node: int, cp: int) -> int:
+            key = (node << 21) | cp
+            j = np.searchsorted(keys, key)
+            if j < len(keys) and keys[j] == key:
+                return int(vals[j])
+            return -1
+
+        def boundary(i: int) -> bool:
+            if i > 0 and is_pc[i - 1]:
+                return True
+            if i < n and (is_sp[i] or is_pc[i]):
+                return True
+            return False
+
+        result: List[str] = []
+        i = 0
+        while i < n:
+            iter_start = i
+            # match loop
+            node = 0
+            seg: List[int] = []
+            while i < n:
+                child = goto(node, int(cps[i]))
+                while child < 0:
+                    f = int(fail[node])
+                    if f < 0:
+                        break
+                    seg.extend(int(t) for t in
+                               pops_flat[pops_off[node]:pops_off[node + 1]])
+                    node = f
+                    child = goto(node, int(cps[i]))
+                if child < 0:
+                    break
+                node = child
+                i += 1
+            # validate
+            if not boundary(i) or node not in roots:
+                seg = [self._unk_id]
+            elif node == trie.root_sharp and not seg:
+                if self._sharp_seq is None:
+                    raise RuntimeError(
+                        "encode_word('##') does not terminate with this "
+                        "vocabulary (reference would hang on this input)")
+                seg = list(self._sharp_seq)
+            result.extend(out_table.string(t) for t in seg)
+            while i < n and not boundary(i):
+                i += 1
+            while i < n and is_sp[i]:
+                i += 1
+            if i == iter_start:
+                # A char that is punctuation-class (Python: not alnum, not
+                # space) but absent from the trie re-enters the exact same
+                # state forever — the reference implementation hangs here
+                # (source/wordpiece.py:251-269); we refuse instead.
+                raise RuntimeError(
+                    "end-to-end scan makes no progress at "
+                    f"{s[i]!r} (position {i}); the reference "
+                    "implementation would hang on this input")
+        return result
+
+    def tokenize_batch(self, corpus: List[str]) -> List[List[str]]:
+        """Batched device end-to-end scan over all sentences at once."""
+        import jax.numpy as jnp
+        from ..ops.wp_encode import wp_e2e_encode
+
+        trie, out_table = self._trie()
+        S = len(corpus)
+        if S == 0:
+            return []
+        lowered = [s.lower() + " " for s in corpus]
+        T = max(len(s) for s in lowered)
+        cps = np.full((S, T), 32, dtype=np.int32)
+        slen = np.zeros((S,), dtype=np.int32)
+        for i, s in enumerate(lowered):
+            arr = codepoints(s)
+            cps[i, :len(arr)] = arr
+            slen[i] = len(arr)
+        is_sp = WS_PY[cps]
+        is_pc = PUNC_PY[cps]
+        sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
+        out, out_n, ovf = wp_e2e_encode(
+            jnp.asarray(cps), jnp.asarray(is_sp), jnp.asarray(is_pc),
+            jnp.asarray(slen), jnp.asarray(trie.edge_keys),
+            jnp.asarray(trie.edge_vals), jnp.asarray(trie.fail),
+            jnp.asarray(trie.pops_off), jnp.asarray(trie.pops_flat),
+            trie.root_p, trie.root_sharp, self._unk_id,
+            sharp_seq, max(trie.max_pops, 1))
+        if bool(np.asarray(ovf).any()):
+            raise RuntimeError("wp_e2e_encode buffer/iteration overflow")
+        out = np.asarray(out)
+        if self._sharp_seq is None and bool((out == -2).any()):
+            raise RuntimeError(
+                "encode_word('##') does not terminate with this vocabulary "
+                "(reference would hang on this input)")
+        out_n = np.asarray(out_n)
+        return [[out_table.string(int(t)) for t in out[i, :out_n[i]]]
+                for i in range(S)]
+
+    # ------------------------------------------------------------- state io
+
+    def reset(self) -> None:
+        super().reset()
+        self._e2e_trie = None
+        self._e2e_out = None
+
+    def load_resources(self, path: str) -> None:
+        """Load vocab and rebuild the trie
+        (reference: source/wordpiece.py:318-324)."""
+        super().load_resources(path)
+        self._build_e2e()
