@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Headline benchmark: FastWP end-to-end encode throughput (MB/s).
+
+Measures the batched device path (front end + unique-word dedup + trie-scan
+automaton) over the conformance corpus, replicated to amortize dispatch,
+after a warmup run that triggers compilation. Verifies bit-exactness
+against the golden token streams before timing — a wrong tokenizer is not
+a fast tokenizer.
+
+Prints ONE JSON line:
+  {"metric": "fastwp_encode_MBps", "value": N, "unit": "MB/s",
+   "vs_baseline": N}
+
+Baseline: reference FastWP on 1 CPU core = 1.463 MB/s (BASELINE.md).
+"""
+import json
+import sys
+import time
+
+BASELINE_MBPS = 1.463
+REPLICAS = 16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from subword_tokenizers_tpu import FastWP
+
+    with open("/root/reference/data/pan_tadeusz.json") as f:
+        corpus = json.load(f)
+    with open("/root/reference/data/pan_tadeusz.tokens.json") as f:
+        golden = json.load(f)["FastWordPiece"]
+
+    tok = FastWP()
+    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
+
+    log(f"devices: {jax.devices()}")
+
+    # Conformance gate + compile warmup.
+    t0 = time.perf_counter()
+    out = tok.tokenize_batch(corpus)
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+    exact = sum(1 for a, b in zip(out, golden) if a == b)
+    log(f"conformance: {exact}/{len(corpus)} sentences exact")
+    assert exact == len(corpus), "conformance failure — refusing to bench"
+
+    big = corpus * REPLICAS
+    nbytes = sum(len(s.encode("utf-8")) for s in big)
+    # Second warmup at the benchmark shape.
+    tok.tokenize_batch(big)
+
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        tok.tokenize_batch(big)
+        dt = time.perf_counter() - t0
+        log(f"trial {trial}: {dt:.3f}s  ({nbytes / dt / 1e6:.2f} MB/s)")
+        best = min(best, dt)
+
+    mbps = nbytes / best / 1e6
+    print(json.dumps({
+        "metric": "fastwp_encode_MBps",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

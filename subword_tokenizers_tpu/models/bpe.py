@@ -56,8 +56,13 @@ def _merge_pass(pair: Tuple[str, str], word: List[str]) -> List[str]:
 class NaiveBPE(SubwordTokenizer):
     """BPE with the reference's naive-encoder semantics, trained on device."""
 
-    def __init__(self, tokenizer: Optional[object] = None) -> None:
+    def __init__(self, tokenizer: Optional[object] = None,
+                 mesh: Optional[object] = None) -> None:
+        """``mesh``: optional 1-D jax Mesh with a 'data' axis — training
+        then shards word types across its devices (parallel/train.py)
+        with bit-identical results to the single-device path."""
         super().__init__(tokenizer)
+        self.mesh = mesh
         self.merges_list: List[Tuple[str, str]] = []
         self.vocab: set = set()
         self.corpus_as_symbols: List[Tuple[List[str], int]] = []
@@ -98,11 +103,22 @@ class NaiveBPE(SubwordTokenizer):
 
         table = SymbolTable()
         corpus_arrays = build_bpe_corpus(words, freq, table)
-        sym = jnp.asarray(corpus_arrays.sym)
-        freq_dev = jnp.asarray(corpus_arrays.freq)
+        if self.mesh is not None:
+            from ..parallel.train import (shard_corpus, sharded_apply_merge,
+                                          sharded_bpe_select)
+            sym, freq_dev = shard_corpus(self.mesh, corpus_arrays.sym,
+                                         corpus_arrays.freq)
+            select = lambda s, f: sharded_bpe_select(self.mesh, s, f)
+            apply_ = lambda s, a, b, n: sharded_apply_merge(self.mesh, s,
+                                                            a, b, n)
+        else:
+            sym = jnp.asarray(corpus_arrays.sym)
+            freq_dev = jnp.asarray(corpus_arrays.freq)
+            select = bpe_select
+            apply_ = apply_merge
 
         while len(self.vocab) < max_vocab:
-            best_key, best_count, _ = bpe_select(sym, freq_dev)
+            best_key, best_count, _ = select(sym, freq_dev)
             if int(best_count) <= 0:
                 break
             key = int(best_key)
@@ -113,7 +129,7 @@ class NaiveBPE(SubwordTokenizer):
             self.vocab.add(merged)
             self.merges_list.append((sa, sb))
             new_id = table.intern(merged)
-            sym = apply_merge(sym, a_id, b_id, new_id)
+            sym = apply_(sym, a_id, b_id, new_id)
 
         # Keep a host-side view of the final corpus state for parity with
         # the reference's `corpus_as_symbols` (source/bpe.py:23).
@@ -296,8 +312,9 @@ class FastBPE(NaiveBPE):
 
     _MONOTONE = False
 
-    def __init__(self, tokenizer: Optional[object] = None) -> None:
-        super().__init__(tokenizer)
+    def __init__(self, tokenizer: Optional[object] = None,
+                 mesh: Optional[object] = None) -> None:
+        super().__init__(tokenizer, mesh)
         self._bpe_ranks: Dict[Tuple[str, str], int] = {}
 
     def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:

@@ -50,8 +50,12 @@ UNK_E2E = "['UNK']"  # FastWP's literal quirk (source/wordpiece.py:257)
 class NaiveWP(SubwordTokenizer):
     """WordPiece with greedy longest-match encoding, trained on device."""
 
-    def __init__(self, tokenizer: Optional[object] = None) -> None:
+    def __init__(self, tokenizer: Optional[object] = None,
+                 mesh: Optional[object] = None) -> None:
+        """``mesh``: optional 1-D jax Mesh with a 'data' axis for
+        data-parallel training (parallel/train.py)."""
         super().__init__(tokenizer)
+        self.mesh = mesh
         self.vocab: set = set()
         self.corpus_as_symbols: List[Tuple[List[str], int]] = []
         self._encode_cache: Dict[str, List[str]] = {}
@@ -90,13 +94,24 @@ class NaiveWP(SubwordTokenizer):
         table = SymbolTable()
         corpus_arrays = build_wp_corpus(words, freq, table)
         self.vocab |= set(table.strings())
-
-        sym = jnp.asarray(corpus_arrays.sym)
-        freq_dev = jnp.asarray(corpus_arrays.freq)
         sym_cap = len(table) + max(max_vocab - len(self.vocab), 0) + 8
 
+        if self.mesh is not None:
+            from ..parallel.train import (shard_corpus, sharded_apply_merge,
+                                          sharded_wp_select)
+            sym, freq_dev = shard_corpus(self.mesh, corpus_arrays.sym,
+                                         corpus_arrays.freq)
+            select = lambda s, f: sharded_wp_select(self.mesh, s, f, sym_cap)
+            apply_merge_fn = lambda s, a, b, n: sharded_apply_merge(
+                self.mesh, s, a, b, n)
+        else:
+            sym = jnp.asarray(corpus_arrays.sym)
+            freq_dev = jnp.asarray(corpus_arrays.freq)
+            select = lambda s, f: wp_select(s, f, sym_cap)
+            apply_merge_fn = apply_merge
+
         while len(self.vocab) < max_vocab:
-            best_key, _, _, best_count = wp_select(sym, freq_dev, sym_cap)
+            best_key, _, _, best_count = select(sym, freq_dev)
             if int(best_count) <= 0:
                 break
             key = int(best_key)
@@ -106,7 +121,7 @@ class NaiveWP(SubwordTokenizer):
             merged = sa + sb[2:]
             self.vocab.add(merged)
             new_id = table.intern(merged)
-            sym = apply_merge(sym, a_id, b_id, new_id)
+            sym = apply_merge_fn(sym, a_id, b_id, new_id)
 
         sym_host = np.asarray(sym)
         self.corpus_as_symbols = [
@@ -248,8 +263,9 @@ class FastWP(NaiveWP):
     """End-to-end WordPiece: linear-time trie scan with punctuation-aware
     boundaries (reference: source/wordpiece.py:211-330)."""
 
-    def __init__(self, tokenizer: Optional[object] = None) -> None:
-        super().__init__(tokenizer)
+    def __init__(self, tokenizer: Optional[object] = None,
+                 mesh: Optional[object] = None) -> None:
+        super().__init__(tokenizer, mesh)
         self._e2e_trie: Optional[E2ETrie] = None
         self._e2e_out: Optional[SymbolTable] = None
         self._sharp_seq: Optional[Tuple[int, ...]] = None
@@ -370,13 +386,13 @@ class FastWP(NaiveWP):
         if S == 0:
             return []
         lowered = [s.lower() + " " for s in corpus]
-        T = max(len(s) for s in lowered)
+        flat = codepoints("".join(lowered))
+        slen = np.fromiter((len(s) for s in lowered), dtype=np.int32,
+                           count=S)
+        T = int(slen.max())
         cps = np.full((S, T), 32, dtype=np.int32)
-        slen = np.zeros((S,), dtype=np.int32)
-        for i, s in enumerate(lowered):
-            arr = codepoints(s)
-            cps[i, :len(arr)] = arr
-            slen[i] = len(arr)
+        mask = np.arange(T, dtype=np.int32)[None, :] < slen[:, None]
+        cps[mask] = flat
         is_sp = WS_PY[cps]
         is_pc = PUNC_PY[cps]
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
@@ -395,8 +411,10 @@ class FastWP(NaiveWP):
                 "encode_word('##') does not terminate with this vocabulary "
                 "(reference would hang on this input)")
         out_n = np.asarray(out_n)
-        return [[out_table.string(int(t)) for t in out[i, :out_n[i]]]
-                for i in range(S)]
+        strs = np.asarray(out_table.strings(), dtype=object)
+        toks = strs[np.clip(out, 0, len(strs) - 1)]
+        counts = out_n.tolist()
+        return [toks[i, :counts[i]].tolist() for i in range(S)]
 
     # ------------------------------------------------------------- state io
 

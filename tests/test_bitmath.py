@@ -1,0 +1,60 @@
+"""Exact IEEE-double emulation: div_double_bits must equal numpy float64
+division bit-for-bit across the documented domain."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from subword_tokenizers_tpu.ops.bitmath import bitlen, div_double_bits
+
+
+def _ref_bits(c, d):
+    return (c.astype(np.float64) / d.astype(np.float64)).view(np.int64)
+
+
+def test_random_domain():
+    rng = np.random.default_rng(3)
+    c = rng.integers(1, 1 << 33, size=100000)
+    d = rng.integers(1, 1 << 26, size=100000) * rng.integers(
+        1, 1 << 26, size=100000)
+    bits = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                               jnp.asarray(d)))
+    assert np.array_equal(bits, _ref_bits(c, d))
+
+
+def test_edges():
+    c = np.array([1, 1, 1, 2, 3, (1 << 33) - 1, (1 << 33) - 1, 5, 10,
+                  1 << 32, 999999937, 3], dtype=np.int64)
+    d = np.array([1, 3, 1 << 52, 1 << 52, (1 << 53) - 1, 1, 3, 7, 3,
+                  (1 << 53) - 1, 999999937 * 2, 6], dtype=np.int64)
+    bits = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                               jnp.asarray(d)))
+    assert np.array_equal(bits, _ref_bits(c, d))
+
+
+def test_dense_small():
+    c = np.repeat(np.arange(1, 500, dtype=np.int64), 50)
+    d = np.tile(np.arange(1, 51, dtype=np.int64), 499)
+    bits = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                               jnp.asarray(d)))
+    assert np.array_equal(bits, _ref_bits(c, d))
+
+
+def test_monotone_keys():
+    # Bit patterns of positive doubles sort like the values.
+    rng = np.random.default_rng(5)
+    c = rng.integers(1, 1 << 20, size=1000)
+    d = rng.integers(1, 1 << 40, size=1000)
+    bits = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                               jnp.asarray(d)))
+    vals = c.astype(np.float64) / d.astype(np.float64)
+    order_bits = np.argsort(bits, kind="stable")
+    order_vals = np.argsort(vals[order_bits], kind="stable")
+    assert np.array_equal(order_vals, np.arange(len(vals)))
+
+
+def test_bitlen():
+    x = np.array([1, 2, 3, 4, 255, 256, (1 << 52) + 1, (1 << 62)],
+                 dtype=np.int64)
+    got = np.asarray(jax.jit(bitlen)(jnp.asarray(x)))
+    expect = np.array([int(v).bit_length() for v in x])
+    assert np.array_equal(got, expect)

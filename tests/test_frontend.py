@@ -1,0 +1,63 @@
+"""Front-end conformance: lower + BERT pre-split must match
+``str.lower()`` + the HF Rust BertPreTokenizer bit-for-bit."""
+import random
+
+import numpy as np
+import pytest
+
+from subword_tokenizers_tpu.frontend import pretokenize as P
+from subword_tokenizers_tpu.frontend.charclass import codepoints
+
+try:
+    from tokenizers.pre_tokenizers import BertPreTokenizer
+    HAVE_HF = True
+except ImportError:
+    HAVE_HF = False
+
+needs_hf = pytest.mark.skipif(not HAVE_HF, reason="tokenizers not installed")
+
+
+@needs_hf
+def test_golden_corpus_exact(pan_tadeusz):
+    pt = BertPreTokenizer()
+    for s in pan_tadeusz:
+        assert P.pre_tokenize_str(s) == pt.pre_tokenize_str(s.lower())
+
+
+@needs_hf
+def test_random_unicode_exact():
+    pt = BertPreTokenizer()
+    rng = random.Random(0)
+    pools = [list(range(32, 127)), list(range(0xA0, 0x500)),
+             list(range(0x2000, 0x2070)), list(range(0x4E00, 0x4E40)),
+             [0x1C, 0x1D, 9, 10, 13, 32, 0x85, 0x3000, 0x1F600, 0x5F, 0xB2]]
+    for _ in range(500):
+        n = rng.randrange(0, 40)
+        s = "".join(chr(rng.choice(rng.choice(pools))) for _ in range(n))
+        assert P.pre_tokenize_str(s) == pt.pre_tokenize_str(s.lower()), repr(s)
+
+
+def test_numpy_native_agree(pan_tadeusz):
+    native = P._get_native_split()
+    if native is None:
+        pytest.skip("native kernel unavailable")
+    for s in pan_tadeusz[:200]:
+        cps = codepoints(s.lower())
+        ns, ne = native(cps)
+        ps, pe = P._split_bounds_numpy(cps)
+        assert np.array_equal(ns, ps) and np.array_equal(ne, pe)
+
+
+def test_batch_matches_single(pan_tadeusz):
+    sub = pan_tadeusz[:100]
+    wb = P.pretokenize_batch(sub)
+    per_sentence = wb.sentence_tokens()
+    for i, s in enumerate(sub):
+        assert per_sentence[i] == P.pre_tokenize_str(s)
+
+
+def test_empty_and_whitespace():
+    assert P.pre_tokenize_str("") == []
+    assert P.pre_tokenize_str(" \t\n ") == []
+    wb = P.pretokenize_batch(["", "  ", "a"])
+    assert wb.n_words == 1 and wb.word(0) == "a"

@@ -1,0 +1,123 @@
+"""WordPiece conformance: training fixtures, both encoders vs the live
+reference, golden streams, and the preserved reference quirks."""
+import json
+
+import pytest
+
+from subword_tokenizers_tpu import FastWP, NaiveWP
+
+from ref_oracle import make_reference, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(),
+                               reason="reference repo not mounted")
+
+TUTORIAL = ["This is a sentence.", "Another example sentence."]
+C2 = ["aaa aab abab banana bandana!", "ab ab ab cd cd c d aaaa",
+      "ßß İİ ss aßa xx ee"]
+SENTS = C2 + ["a banana!! sentence", "band", "  spaces  here ", "!!!",
+              "aß!xa", "ab", "", " ", "banda band ##a", "e!e", "xx!xx",
+              "b!an!"]
+
+
+def test_tutorial_fixture_vocab():
+    tok = NaiveWP()
+    tok.train(TUTORIAL, max_vocab=25)
+    with open("/root/reference/resources/tests/NaiveWordPiece/"
+              "vocab.json") as f:
+        assert tok.vocab == set(json.load(f))
+
+
+@needs_ref
+def test_train_vs_reference():
+    ref = make_reference("NaiveWordPiece")
+    ref.train(C2, 45)
+    mine = NaiveWP()
+    mine.train(C2, 45)
+    assert mine.vocab == ref.vocab
+
+
+@needs_ref
+def test_naive_encode_parity():
+    ref = make_reference("NaiveWordPiece")
+    ref.train(C2, 45)
+    mine = NaiveWP()
+    mine.train(C2, 45)
+    for w in ["banana", "aaaa", "x", "unknownq", "", "aßa", "bandana", "!"]:
+        assert mine.encode_word(w) == ref.encode_word(w), w
+    for s in C2:
+        assert mine.tokenize(s) == ref.tokenize(s), s
+    batch = mine.tokenize_batch(SENTS)
+    for s, got in zip(SENTS, batch):
+        assert got == ref.tokenize(s), s
+
+
+@needs_ref
+def test_fastwp_parity_host_and_batch():
+    ref = make_reference("FastWordPiece")
+    ref.train(C2, 45)
+    mine = FastWP()
+    mine.train(C2, 45)
+    for s in SENTS:
+        assert mine.tokenize(s) == ref.tokenize(s), s
+    batch = mine.tokenize_batch(SENTS)
+    for s, got in zip(SENTS, batch):
+        assert got == ref.tokenize(s), s
+
+
+def test_golden_corpus_both_models(pan_tadeusz, pan_tadeusz_golden):
+    for cls, name in [(NaiveWP, "NaiveWordPiece"),
+                      (FastWP, "FastWordPiece")]:
+        tok = cls()
+        tok.load_resources(f"/root/reference/resources/pretrained/{name}")
+        out = tok.tokenize_batch(pan_tadeusz)
+        assert out == pan_tadeusz_golden[name]
+        for i in (0, 123, 988):
+            assert tok.tokenize(pan_tadeusz[i]) == pan_tadeusz_golden[name][i]
+
+
+def test_unk_quirks():
+    """NaiveWP's '[UNK]' and FastWP's literal \"['UNK']\" differ
+    (reference: source/wordpiece.py:148-149 vs :257)."""
+    n = NaiveWP()
+    n.vocab = {"a", "##b"}
+    assert n.encode_word("zzz") == ["[UNK]"]
+    f = FastWP()
+    f.vocab = {"a", "##b"}
+    f.load_resources("/nonexistent")  # triggers trie rebuild, no-op load
+    assert f.tokenize("zzz a") == ["['UNK']", "a"]
+
+
+def test_hang_guards():
+    """Inputs on which the *reference* would loop forever must raise."""
+    n = NaiveWP()
+    n.vocab = {"#", "s"}
+    with pytest.raises(RuntimeError):
+        n.encode_word("sqq")
+    f = FastWP()
+    f.vocab = {"a"}
+    f.load_resources("/nonexistent")
+    with pytest.raises(RuntimeError):
+        f.tokenize("¤")
+
+
+def test_resources_roundtrip(tmp_path):
+    tok = NaiveWP()
+    tok.train(TUTORIAL, max_vocab=25)
+    tok.save_resources(str(tmp_path))
+    reloaded = FastWP()
+    reloaded.load_resources(str(tmp_path))
+    assert reloaded.vocab == tok.vocab
+    with open(tmp_path / "vocab.json", encoding="utf-8") as f:
+        assert set(json.load(f)) == tok.vocab
+
+
+def test_type_validation():
+    tok = NaiveWP()
+    with pytest.raises(TypeError):
+        tok.train("x", 10)
+    with pytest.raises(TypeError):
+        tok.train([], None)
+    with pytest.raises(TypeError):
+        tok.tokenize(1.5)
+    with pytest.raises(TypeError):
+        FastWP().tokenize(None)
