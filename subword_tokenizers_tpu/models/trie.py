@@ -33,6 +33,31 @@ CP_BITS = 21
 
 NO_NODE = -1
 
+MAX_CP = 0x110000
+
+
+def _dense_tables(children: List[Dict[int, int]]
+                  ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Dense transition table + codepoint→alphabet-id map.
+
+    The trie's edge alphabet is small (the distinct characters of the
+    vocabulary), so transitions become a single gather
+    ``goto[node, alpha[cp]]`` on device — the per-step cost that dominates
+    the scan automatons. Column ``A`` (the OOV class) is all -1.
+
+    Returns (goto i32[n_nodes, A+1], alpha i32[MAX_CP], A).
+    """
+    alphabet = sorted({cp for ch in children for cp in ch})
+    A = len(alphabet)
+    alpha = np.full(MAX_CP, A, dtype=np.int32)
+    for i, cp in enumerate(alphabet):
+        alpha[cp] = i
+    goto = np.full((len(children), A + 1), NO_NODE, dtype=np.int32)
+    for node, ch in enumerate(children):
+        for cp, child in ch.items():
+            goto[node, alpha[cp]] = child
+    return goto, alpha, A
+
 
 def _pack_edges(children: List[Dict[int, int]]) -> Tuple[np.ndarray, np.ndarray]:
     keys, vals = [], []
@@ -54,6 +79,9 @@ class MatchTrie:
     edge_vals: np.ndarray   # i32[n_edges]
     accept: np.ndarray      # i32[n_nodes], output token id or -1
     n_nodes: int
+    goto: np.ndarray        # i32[n_nodes, n_alpha+1] dense transitions
+    alpha: np.ndarray       # i32[MAX_CP] codepoint -> alphabet id (OOV=A)
+    n_alpha: int
 
     @classmethod
     def build(cls, vocab: Iterable[str], out_table) -> "MatchTrie":
@@ -73,9 +101,11 @@ class MatchTrie:
                 node = nxt
             accept[node] = out_table.intern(tok)
         keys, vals = _pack_edges(children)
+        goto, alpha, n_alpha = _dense_tables(children)
         return cls(edge_keys=keys, edge_vals=vals,
                    accept=np.asarray(accept, dtype=np.int32),
-                   n_nodes=len(children))
+                   n_nodes=len(children), goto=goto, alpha=alpha,
+                   n_alpha=n_alpha)
 
 
 @dataclass
@@ -91,6 +121,9 @@ class E2ETrie:
     root_p: int
     root_sharp: int
     n_nodes: int
+    goto: np.ndarray         # i32[n_nodes, n_alpha+1] dense transitions
+    alpha: np.ndarray        # i32[MAX_CP] codepoint -> alphabet id (OOV=A)
+    n_alpha: int
 
     @classmethod
     def build(cls, vocab: Iterable[str], out_table) -> "E2ETrie":
@@ -161,6 +194,7 @@ class E2ETrie:
                 queue.append(child)
 
         keys, vals = _pack_edges(children)
+        goto, alpha, n_alpha = _dense_tables(children)
         pops_off = np.zeros(n + 1, dtype=np.int32)
         flat: List[int] = []
         for i in range(n):
@@ -169,7 +203,8 @@ class E2ETrie:
         return cls(edge_keys=keys, edge_vals=vals, fail=fail,
                    pops_off=pops_off,
                    pops_flat=np.asarray(flat, dtype=np.int32),
-                   root=0, root_p=root_p, root_sharp=root_sharp, n_nodes=n)
+                   root=0, root_p=root_p, root_sharp=root_sharp, n_nodes=n,
+                   goto=goto, alpha=alpha, n_alpha=n_alpha)
 
     @property
     def max_pops(self) -> int:

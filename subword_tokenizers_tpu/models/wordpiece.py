@@ -191,17 +191,16 @@ class NaiveWP(SubwordTokenizer):
 
         trie, out_table = self._build_match_trie()
         W = len(words)
-        L = max(2, max((len(w) for w in words), default=1))
-        wmat = np.full((W, L), -1, dtype=np.int32)
-        wlen = np.zeros((W,), dtype=np.int32)
-        for i, w in enumerate(words):
-            wlen[i] = len(w)
-            for j, c in enumerate(w):
-                wmat[i, j] = ord(c)
+        wlen = np.fromiter((len(w) for w in words), dtype=np.int32, count=W)
+        L = max(2, int(wlen.max()) if W else 1)
+        flat = trie.alpha[codepoints("".join(words))]
+        wmat = np.full((W, L), trie.n_alpha, dtype=np.int32)
+        mask = np.arange(L, dtype=np.int32)[None, :] < wlen[:, None]
+        wmat[mask] = flat
         out, out_n, unk, ovf = wp_match_encode(
             jnp.asarray(wmat), jnp.asarray(wlen),
-            jnp.asarray(trie.edge_keys), jnp.asarray(trie.edge_vals),
-            jnp.asarray(trie.accept))
+            jnp.asarray(trie.goto), jnp.asarray(trie.accept),
+            int(trie.alpha[ord("#")]))
         out = np.asarray(out)
         out_n = np.asarray(out_n)
         unk = np.asarray(unk)
@@ -390,29 +389,32 @@ class FastWP(NaiveWP):
         slen = np.fromiter((len(s) for s in lowered), dtype=np.int32,
                            count=S)
         T = int(slen.max())
-        cps = np.full((S, T), 32, dtype=np.int32)
+        cps = np.full((S, T), 32, dtype=np.uint32)
         mask = np.arange(T, dtype=np.int32)[None, :] < slen[:, None]
         cps[mask] = flat
         is_sp = WS_PY[cps]
         is_pc = PUNC_PY[cps]
+        acp = trie.alpha[cps]
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
         out, out_n, ovf = wp_e2e_encode(
-            jnp.asarray(cps), jnp.asarray(is_sp), jnp.asarray(is_pc),
-            jnp.asarray(slen), jnp.asarray(trie.edge_keys),
-            jnp.asarray(trie.edge_vals), jnp.asarray(trie.fail),
-            jnp.asarray(trie.pops_off), jnp.asarray(trie.pops_flat),
+            jnp.asarray(acp), jnp.asarray(is_sp), jnp.asarray(is_pc),
+            jnp.asarray(slen), jnp.asarray(trie.goto),
+            jnp.asarray(trie.fail), jnp.asarray(trie.pops_off),
+            jnp.asarray(trie.pops_flat),
             trie.root_p, trie.root_sharp, self._unk_id,
             sharp_seq, max(trie.max_pops, 1))
         if bool(np.asarray(ovf).any()):
             raise RuntimeError("wp_e2e_encode buffer/iteration overflow")
-        out = np.asarray(out)
+        out_n = np.asarray(out_n)
+        width = max(int(out_n.max()), 1) if S else 1
+        out = np.asarray(out[:, :width])
         if self._sharp_seq is None and bool((out == -2).any()):
             raise RuntimeError(
                 "encode_word('##') does not terminate with this vocabulary "
                 "(reference would hang on this input)")
-        out_n = np.asarray(out_n)
+        # All written ids are valid out_table indices (masked slots are 0).
         strs = np.asarray(out_table.strings(), dtype=object)
-        toks = strs[np.clip(out, 0, len(strs) - 1)]
+        toks = strs[out]
         counts = out_n.tolist()
         return [toks[i, :counts[i]].tolist() for i in range(S)]
 

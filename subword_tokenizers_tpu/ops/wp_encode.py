@@ -30,28 +30,26 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-CP_BITS = 21
-HASH_CP = 35  # ord('#')
+def _goto(goto_table, node, aid):
+    """Trie transition via the dense table: child node id or -1.
 
-
-def _goto(edge_keys, edge_vals, node, cp):
-    """Trie transition: child node id or -1. ``cp`` must be >= 0."""
-    E = edge_keys.shape[0]
-    key = (node.astype(jnp.int64) << CP_BITS) | cp.astype(jnp.int64)
-    idx = jnp.searchsorted(edge_keys, key)
-    idxc = jnp.minimum(idx, E - 1).astype(jnp.int32)
-    found = edge_keys[idxc] == key
-    return jnp.where(found, edge_vals[idxc], jnp.int32(-1))
+    ``aid`` is an alphabet id in [0, A]; column A is the OOV class and is
+    all -1 (models/trie.py:_dense_tables), so out-of-alphabet characters
+    fall through with no branch.
+    """
+    return goto_table[node, aid]
 
 
 MAX_INJECT = 16  # cap on pending '#' prefix chars (see pathology note)
 
 
 @jax.jit
-def wp_match_encode(words, wlen, edge_keys, edge_vals, accept):
+def wp_match_encode(words, wlen, goto_table, accept, hash_aid):
     """Greedy longest-match over padded words.
 
-    words: i32[W, L] codepoints (PAD -1); wlen: i32[W].
+    words: i32[W, L] *alphabet ids* (host-translated via the trie's alpha
+    map; OOV = A); wlen: i32[W]; hash_aid: alphabet id of '#' (for the
+    injected '##' continuation prefix).
     Returns (out i32[W, L+4] token ids, out_n i32[W], unk bool[W],
     overflow bool[W]). ``unk`` rows must be rendered as ["[UNK]"].
     """
@@ -74,12 +72,10 @@ def wp_match_encode(words, wlen, edge_keys, edge_vals, accept):
         active = mode == 0
         rows = jnp.arange(W)
         in_word = pos < wlen
-        cp = jnp.where(inject > 0, HASH_CP,
-                       jnp.where(in_word, words[rows, jnp.minimum(pos, L - 1)],
-                                 jnp.int32(-1)))
+        aid = jnp.where(inject > 0, hash_aid,
+                        words[rows, jnp.minimum(pos, L - 1)])
         have_char = (inject > 0) | in_word
-        child = _goto(edge_keys, edge_vals, node,
-                      jnp.maximum(cp, 0))
+        child = _goto(goto_table, node, aid)
         can_step = active & have_char & (child >= 0)
 
         # Advance: consume one (possibly injected) char.
@@ -139,20 +135,21 @@ def wp_match_encode(words, wlen, edge_keys, edge_vals, accept):
 
 
 @partial(jax.jit, static_argnames=("max_pops", "sharp_seq"))
-def wp_e2e_encode(cps, is_space, is_punc, slen, edge_keys, edge_vals, fail,
+def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
                   pops_off, pops_flat, root_p, root_sharp, unk_id,
                   sharp_seq, max_pops):
     """End-to-end LinMaxMatch scan over padded sentences.
 
-    cps: i32[S, T] lowered codepoints *including the appended trailing
-    space* (reference: source/wordpiece.py:248); slen: i32[S] true lengths
-    (with the space); is_space/is_punc: Python str.isspace / FastWP ispunc
-    classes per char. ``sharp_seq``: static tuple of token ids emitted for
-    the root_sharp corner case; ``unk_id``: id of the literal "['UNK']".
+    acp: i32[S, T] lowered *alphabet ids* (host-translated; OOV = A)
+    including the appended trailing space (reference:
+    source/wordpiece.py:248); slen: i32[S] true lengths (with the space);
+    is_space/is_punc: Python str.isspace / FastWP ispunc classes per char.
+    ``sharp_seq``: static tuple of token ids emitted for the root_sharp
+    corner case; ``unk_id``: id of the literal "['UNK']".
 
     Returns (out i32[S, CAP], out_n i32[S], overflow bool[S]).
     """
-    S, T = cps.shape
+    S, T = acp.shape
     CAP = 2 * T + 4
     MAXITER = 6 * T + 64
     MATCH, VALIDATE, SKIP1, SKIP2, DONE = (jnp.int32(i) for i in range(5))
@@ -178,8 +175,8 @@ def wp_e2e_encode(cps, is_space, is_punc, slen, edge_keys, edge_vals, fail,
         # ---------------- MATCH ----------------
         m_act = mode == MATCH
         at_end = i >= slen
-        cp = cps[rows, jnp.clip(i, 0, T - 1)]
-        child = _goto(edge_keys, edge_vals, node, jnp.maximum(cp, 0))
+        aid = acp[rows, jnp.clip(i, 0, T - 1)]
+        child = _goto(goto_table, node, aid)
         step = m_act & ~at_end & (child >= 0)
         f = fail[jnp.clip(node, 0, fail.shape[0] - 1)]
         climb = m_act & ~at_end & (child < 0) & (f >= 0)
