@@ -124,6 +124,8 @@ class E2ETrie:
     goto: np.ndarray         # i32[n_nodes, n_alpha+1] dense transitions
     alpha: np.ndarray        # i32[MAX_CP] codepoint -> alphabet id (OOV=A)
     n_alpha: int
+    has_ws_token: bool       # any vocab token contains a whitespace char
+                             # (breaks whitespace-chunk decomposition)
 
     @classmethod
     def build(cls, vocab: Iterable[str], out_table) -> "E2ETrie":
@@ -200,11 +202,14 @@ class E2ETrie:
         for i in range(n):
             flat.extend(pops[i])
             pops_off[i + 1] = len(flat)
+        from ..frontend.charclass import WS_PY
+        has_ws = any(WS_PY[cp] for ch in children for cp in ch)
         return cls(edge_keys=keys, edge_vals=vals, fail=fail,
                    pops_off=pops_off,
                    pops_flat=np.asarray(flat, dtype=np.int32),
                    root=0, root_p=root_p, root_sharp=root_sharp, n_nodes=n,
-                   goto=goto, alpha=alpha, n_alpha=n_alpha)
+                   goto=goto, alpha=alpha, n_alpha=n_alpha,
+                   has_ws_token=has_ws)
 
     @property
     def max_pops(self) -> int:

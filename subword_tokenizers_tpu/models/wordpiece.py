@@ -376,11 +376,119 @@ class FastWP(NaiveWP):
         return result
 
     def tokenize_batch(self, corpus: List[str]) -> List[List[str]]:
-        """Batched device end-to-end scan over all sentences at once."""
+        """Batched device end-to-end scan.
+
+        Default path exploits two structural facts for throughput: the
+        scan automaton can never cross a whitespace character (no vocab
+        token contains one — the matchloop has no whitespace edge, SKIP
+        stops at spaces, and the boundary lookback across a space sees a
+        non-punct char), so sentences decompose into independent
+        whitespace-delimited chunks; and chunks repeat Zipf-style, so only
+        *unique* chunks are scanned. Falls back to the whole-sentence scan
+        when the vocabulary does contain whitespace-bearing tokens.
+        """
+        trie, _ = self._trie()
+        if trie.has_ws_token:
+            return self._tokenize_batch_sentences(corpus)
+        return self._tokenize_batch_chunked(corpus)
+
+    def _run_e2e(self, cps, slen):
+        """Run the device automaton on padded codepoint rows; returns
+        (token-id object-array rows, counts)."""
         import jax.numpy as jnp
         from ..ops.wp_encode import wp_e2e_encode
 
         trie, out_table = self._trie()
+        is_sp = WS_PY[cps]
+        is_pc = PUNC_PY[cps]
+        acp = trie.alpha[cps]
+        sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
+        out, out_n, ovf, stuck = wp_e2e_encode(
+            jnp.asarray(acp), jnp.asarray(is_sp), jnp.asarray(is_pc),
+            jnp.asarray(slen), jnp.asarray(trie.goto),
+            jnp.asarray(trie.fail), jnp.asarray(trie.pops_off),
+            jnp.asarray(trie.pops_flat),
+            trie.root_p, trie.root_sharp, self._unk_id,
+            sharp_seq, max(trie.max_pops, 1))
+        stuck = np.asarray(stuck)
+        if bool(stuck.any()):
+            idx = np.flatnonzero(stuck)[:5].tolist()
+            raise RuntimeError(
+                "end-to-end scan makes no progress on input row(s) "
+                f"{idx} — a punctuation-class character absent from the "
+                "vocabulary; the reference implementation would hang on "
+                "these inputs")
+        if bool(np.asarray(ovf).any()):
+            raise RuntimeError("wp_e2e_encode output buffer overflow")
+        out_n = np.asarray(out_n)
+        width = max(int(out_n.max()), 1) if out_n.size else 1
+        out = np.asarray(out[:, :width])
+        if self._sharp_seq is None and bool((out == -2).any()):
+            raise RuntimeError(
+                "encode_word('##') does not terminate with this vocabulary "
+                "(reference would hang on this input)")
+        strs = np.asarray(out_table.strings(), dtype=object)
+        return strs[out], out_n
+
+    def _tokenize_batch_chunked(self, corpus: List[str]) -> List[List[str]]:
+        S = len(corpus)
+        if S == 0:
+            return []
+        lowered = [s.lower() for s in corpus]
+        joined = " ".join(lowered)
+        flat = codepoints(joined)
+        if flat.size == 0:
+            return [[] for _ in range(S)]
+        sp = WS_PY[flat]
+        keep = ~sp
+        prev_sp = np.empty_like(sp)
+        prev_sp[0] = True
+        prev_sp[1:] = sp[:-1]
+        starts = np.flatnonzero(keep & prev_sp)
+        if starts.size == 0:
+            return [[] for _ in range(S)]
+        sp_pos = np.flatnonzero(sp)
+        idx = np.searchsorted(sp_pos, starts)
+        ends = np.where(idx < sp_pos.size,
+                        sp_pos[np.minimum(idx, max(sp_pos.size - 1, 0))],
+                        flat.size)
+        # sentence id per chunk (sentences are ' '-joined)
+        sent_start = np.zeros(S, dtype=np.int64)
+        lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
+                           count=S)
+        np.cumsum(lens[:-1] + 1, out=sent_start[1:])
+        sid = np.searchsorted(sent_start, starts, side="right") - 1
+
+        # pad chunks (+1 trailing space, reference: wordpiece.py:248)
+        clen = (ends - starts).astype(np.int32)
+        Lc = int(clen.max()) + 1
+        C = starts.size
+        cmat = np.full((C, Lc), 32, dtype=np.uint32)
+        mask = np.arange(Lc, dtype=np.int32)[None, :] < clen[:, None]
+        # gather chunk contents: ragged -> rows
+        take = starts[:, None] + np.arange(Lc, dtype=np.int64)[None, :]
+        cmat[mask] = flat[np.minimum(take, flat.size - 1)[mask]]
+
+        # dedup rows
+        cm = np.ascontiguousarray(cmat)
+        void = cm.view(np.dtype((np.void, cm.dtype.itemsize * Lc)))[:, 0]
+        _, uidx, inverse = np.unique(void, return_index=True,
+                                     return_inverse=True)
+        umat = cm[uidx]
+        uslen = clen[uidx] + 1  # + trailing space
+
+        toks, out_n = self._run_e2e(umat, uslen)
+        tok_rows = [toks[i, :out_n[i]].tolist() for i in range(len(uidx))]
+
+        result: List[List[str]] = [[] for _ in range(S)]
+        sids = sid.tolist()
+        invs = inverse.tolist()
+        for c in range(C):
+            result[sids[c]].extend(tok_rows[invs[c]])
+        return result
+
+    def _tokenize_batch_sentences(self, corpus: List[str]
+                                  ) -> List[List[str]]:
         S = len(corpus)
         if S == 0:
             return []
@@ -392,29 +500,7 @@ class FastWP(NaiveWP):
         cps = np.full((S, T), 32, dtype=np.uint32)
         mask = np.arange(T, dtype=np.int32)[None, :] < slen[:, None]
         cps[mask] = flat
-        is_sp = WS_PY[cps]
-        is_pc = PUNC_PY[cps]
-        acp = trie.alpha[cps]
-        sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
-        out, out_n, ovf = wp_e2e_encode(
-            jnp.asarray(acp), jnp.asarray(is_sp), jnp.asarray(is_pc),
-            jnp.asarray(slen), jnp.asarray(trie.goto),
-            jnp.asarray(trie.fail), jnp.asarray(trie.pops_off),
-            jnp.asarray(trie.pops_flat),
-            trie.root_p, trie.root_sharp, self._unk_id,
-            sharp_seq, max(trie.max_pops, 1))
-        if bool(np.asarray(ovf).any()):
-            raise RuntimeError("wp_e2e_encode buffer/iteration overflow")
-        out_n = np.asarray(out_n)
-        width = max(int(out_n.max()), 1) if S else 1
-        out = np.asarray(out[:, :width])
-        if self._sharp_seq is None and bool((out == -2).any()):
-            raise RuntimeError(
-                "encode_word('##') does not terminate with this vocabulary "
-                "(reference would hang on this input)")
-        # All written ids are valid out_table indices (masked slots are 0).
-        strs = np.asarray(out_table.strings(), dtype=object)
-        toks = strs[out]
+        toks, out_n = self._run_e2e(cps, slen)
         counts = out_n.tolist()
         return [toks[i, :counts[i]].tolist() for i in range(S)]
 

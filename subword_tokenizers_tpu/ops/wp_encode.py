@@ -147,7 +147,11 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
     ``sharp_seq``: static tuple of token ids emitted for the root_sharp
     corner case; ``unk_id``: id of the literal "['UNK']".
 
-    Returns (out i32[S, CAP], out_n i32[S], overflow bool[S]).
+    Returns (out i32[S, CAP], out_n i32[S], overflow bool[S],
+    stuck bool[S]) — ``stuck`` marks sentences still unfinished at the
+    iteration cap, which for legitimate inputs cannot happen (the cap is
+    ~6x the amortized step bound); it indicates the no-progress pathology
+    on which the reference implementation loops forever.
     """
     S, T = acp.shape
     CAP = 2 * T + 4
@@ -256,5 +260,5 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
         "it": jnp.int32(0),
     }
     st = jax.lax.while_loop(cond, body, init)
-    ovf = st["ovf"] | (st["mode"] != DONE)
-    return st["out"][:, :CAP], st["ptr"], ovf
+    stuck = st["mode"] != DONE
+    return st["out"][:, :CAP], st["ptr"], st["ovf"], stuck

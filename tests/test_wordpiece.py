@@ -75,6 +75,15 @@ def test_golden_corpus_both_models(pan_tadeusz, pan_tadeusz_golden):
             assert tok.tokenize(pan_tadeusz[i]) == pan_tadeusz_golden[name][i]
 
 
+def test_chunked_equals_sentence_path(pan_tadeusz, pan_tadeusz_golden):
+    tok = FastWP()
+    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
+    sub = pan_tadeusz[:60]
+    golden = pan_tadeusz_golden["FastWordPiece"][:60]
+    assert tok._tokenize_batch_chunked(sub) == golden
+    assert tok._tokenize_batch_sentences(sub) == golden
+
+
 def test_unk_quirks():
     """NaiveWP's '[UNK]' and FastWP's literal \"['UNK']\" differ
     (reference: source/wordpiece.py:148-149 vs :257)."""
