@@ -269,6 +269,7 @@ class FastWP(NaiveWP):
         self._e2e_out: Optional[SymbolTable] = None
         self._sharp_seq: Optional[Tuple[int, ...]] = None
         self._unk_id: Optional[int] = None
+        self._packed_cache = None
 
     # ------------------------------------------------------------ training
 
@@ -392,24 +393,33 @@ class FastWP(NaiveWP):
             return self._tokenize_batch_sentences(corpus)
         return self._tokenize_batch_chunked(corpus)
 
-    def _run_e2e(self, cps, slen):
-        """Run the device automaton on padded codepoint rows; returns
-        (token-id object-array rows, counts)."""
+    def _run_e2e_packed(self, cps, slen):
+        """TPU-optimized scan (ops/wp_encode_e2e.py): packed char/node
+        tables, one scatter per step. Used by the chunked path."""
         import jax.numpy as jnp
-        from ..ops.wp_encode import wp_e2e_encode
+        from ..ops.wp_encode_e2e import (pack_chars, pack_node_info,
+                                         wp_e2e_scan)
 
         trie, out_table = self._trie()
-        is_sp = WS_PY[cps]
-        is_pc = PUNC_PY[cps]
-        acp = trie.alpha[cps]
+        n_pops = max(trie.max_pops, 1)
+        if n_pops > 8:
+            return self._run_e2e(cps, slen)
+        if getattr(self, "_packed_cache", None) is None or \
+                self._packed_cache[0] is not trie:
+            info = pack_node_info(trie.fail, trie.pops_off, trie.pops_flat,
+                                  n_pops)
+            self._packed_cache = (trie, jnp.asarray(info))
+        node_info = self._packed_cache[1]
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
-        out, out_n, ovf, stuck = wp_e2e_encode(
-            jnp.asarray(acp), jnp.asarray(is_sp), jnp.asarray(is_pc),
-            jnp.asarray(slen), jnp.asarray(trie.goto),
-            jnp.asarray(trie.fail), jnp.asarray(trie.pops_off),
-            jnp.asarray(trie.pops_flat),
+        pchar = pack_chars(trie.alpha[cps], WS_PY[cps], PUNC_PY[cps])
+        out, out_n, ovf, stuck = wp_e2e_scan(
+            jnp.asarray(pchar), jnp.asarray(slen.astype(np.int32)),
+            jnp.asarray(trie.goto), node_info,
             trie.root_p, trie.root_sharp, self._unk_id,
-            sharp_seq, max(trie.max_pops, 1))
+            sharp_seq, n_pops)
+        return self._finish_e2e(out, out_n, ovf, stuck, out_table)
+
+    def _finish_e2e(self, out, out_n, ovf, stuck, out_table):
         stuck = np.asarray(stuck)
         if bool(stuck.any()):
             idx = np.flatnonzero(stuck)[:5].tolist()
@@ -429,6 +439,26 @@ class FastWP(NaiveWP):
                 "(reference would hang on this input)")
         strs = np.asarray(out_table.strings(), dtype=object)
         return strs[out], out_n
+
+    def _run_e2e(self, cps, slen):
+        """Run the device automaton on padded codepoint rows; returns
+        (token-id object-array rows, counts)."""
+        import jax.numpy as jnp
+        from ..ops.wp_encode import wp_e2e_encode
+
+        trie, out_table = self._trie()
+        is_sp = WS_PY[cps]
+        is_pc = PUNC_PY[cps]
+        acp = trie.alpha[cps]
+        sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
+        out, out_n, ovf, stuck = wp_e2e_encode(
+            jnp.asarray(acp), jnp.asarray(is_sp), jnp.asarray(is_pc),
+            jnp.asarray(slen), jnp.asarray(trie.goto),
+            jnp.asarray(trie.fail), jnp.asarray(trie.pops_off),
+            jnp.asarray(trie.pops_flat),
+            trie.root_p, trie.root_sharp, self._unk_id,
+            sharp_seq, max(trie.max_pops, 1))
+        return self._finish_e2e(out, out_n, ovf, stuck, out_table)
 
     def _tokenize_batch_chunked(self, corpus: List[str]) -> List[List[str]]:
         S = len(corpus)
@@ -459,9 +489,10 @@ class FastWP(NaiveWP):
         np.cumsum(lens[:-1] + 1, out=sent_start[1:])
         sid = np.searchsorted(sent_start, starts, side="right") - 1
 
-        # pad chunks (+1 trailing space, reference: wordpiece.py:248)
+        # pad chunks (+1 trailing space, reference: wordpiece.py:248, and
+        # +1 more so the boundary lookback at i == slen stays in range)
         clen = (ends - starts).astype(np.int32)
-        Lc = int(clen.max()) + 1
+        Lc = int(clen.max()) + 2
         C = starts.size
         cmat = np.full((C, Lc), 32, dtype=np.uint32)
         mask = np.arange(Lc, dtype=np.int32)[None, :] < clen[:, None]
@@ -477,7 +508,7 @@ class FastWP(NaiveWP):
         umat = cm[uidx]
         uslen = clen[uidx] + 1  # + trailing space
 
-        toks, out_n = self._run_e2e(umat, uslen)
+        toks, out_n = self._run_e2e_packed(umat, uslen)
         tok_rows = [toks[i, :out_n[i]].tolist() for i in range(len(uidx))]
 
         result: List[List[str]] = [[] for _ in range(S)]
@@ -510,6 +541,7 @@ class FastWP(NaiveWP):
         super().reset()
         self._e2e_trie = None
         self._e2e_out = None
+        self._packed_cache = None
 
     def load_resources(self, path: str) -> None:
         """Load vocab and rebuild the trie

@@ -1,0 +1,182 @@
+"""TPU-optimized end-to-end WordPiece scan automaton.
+
+Same semantics as the reference's FastWP loop (source/wordpiece.py:233-316)
+— see ops/wp_encode.py for the semantic map — but engineered for TPU
+per-iteration cost, which is dominated by gather/scatter op overhead, not
+FLOPs:
+
+- one gather for the character: alphabet id + (space, punct, prev-punct)
+  class bits packed into a single i32 per position on the host;
+- one gather for the node: (fail, pop-count, pops...) packed into one
+  ``node_info`` row, fetched as a contiguous slice;
+- one gather for the goto transition;
+- ONE scatter per iteration: all emission cases (failure pops, the
+  "['UNK']" rollback, the root_sharp corner sequence) merge into a single
+  masked flat scatter of K columns.
+
+Everything is i32 (i64 is emulated on this TPU generation).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# packed char word: aid | sp<<22 | pc<<23 | prev_pc<<24
+SP_BIT = 1 << 22
+PC_BIT = 1 << 23
+PREV_PC_BIT = 1 << 24
+AID_MASK = (1 << 22) - 1
+
+# node_info columns: 0=fail, 1=pop count, 2..2+P-1 = pops
+NODE_INFO_POPS = 2
+
+
+def pack_chars(aid, is_sp, is_pc):
+    """Host/device helper: pack per-position char word (numpy-compatible)."""
+    import numpy as np
+    prev_pc = np.zeros_like(is_pc)
+    prev_pc[:, 1:] = is_pc[:, :-1]
+    return (aid.astype(np.int32)
+            | (is_sp.astype(np.int32) << 22)
+            | (is_pc.astype(np.int32) << 23)
+            | (prev_pc.astype(np.int32) << 24))
+
+
+def pack_node_info(fail, pops_off, pops_flat, width):
+    """Host helper: [n_nodes, 2+width] packed node table."""
+    import numpy as np
+    n = fail.shape[0]
+    info = np.zeros((n, NODE_INFO_POPS + width), dtype=np.int32)
+    info[:, 0] = fail
+    cnt = pops_off[1:] - pops_off[:-1]
+    info[:, 1] = cnt
+    for j in range(width):
+        has = j < cnt
+        idx = np.minimum(pops_off[:-1] + j,
+                         max(len(pops_flat) - 1, 0))
+        info[:, NODE_INFO_POPS + j] = np.where(
+            has, pops_flat[idx] if len(pops_flat) else 0, 0)
+    return info
+
+
+@partial(jax.jit, static_argnames=("n_pops", "sharp_seq"))
+def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
+                unk_id, sharp_seq, n_pops):
+    """Scan padded rows of packed chars; see module docstring.
+
+    pchar: i32[S, T] packed char words (positions >= slen are spaces);
+    slen: i32[S] lengths including the appended trailing space;
+    node_info: i32[n_nodes, 2+n_pops]; sharp_seq: static id tuple.
+    Returns (out i32[S, CAP], out_n i32[S], overflow bool[S], stuck bool[S]).
+    """
+    S, T = pchar.shape
+    CAP = T + 4
+    MAXITER = 6 * T + 64
+    K = max(n_pops, len(sharp_seq), 1)
+    MATCH, VALIDATE, SKIP1, SKIP2, DONE = (jnp.int32(i) for i in range(5))
+    rows = jnp.arange(S, dtype=jnp.int32)
+    sharp = jnp.asarray(sharp_seq + (0,) * (K - len(sharp_seq)),
+                        dtype=jnp.int32)
+    OUTW = CAP + 1
+
+    def bnd_of(cw, i, sl):
+        # iswdbndry (source/wordpiece.py:272-285): prev char punct, or
+        # current (in-range) char space/punct.
+        in_rng = i < sl
+        cur = in_rng & (((cw & (SP_BIT | PC_BIT))) != 0)
+        prev = (i > 0) & ((cw & PREV_PC_BIT) != 0)
+        return prev | cur
+
+    def cond(st):
+        return jnp.any(st["mode"] != DONE) & (st["it"] < MAXITER)
+
+    def body(st):
+        i, node, mode = st["i"], st["node"], st["mode"]
+        ptr, seg_ptr, ovf = st["ptr"], st["seg_ptr"], st["ovf"]
+
+        cw = pchar[rows, jnp.minimum(i, T - 1)]
+        aid = cw & AID_MASK
+        info = node_info[node]            # [S, 2+n_pops] one sliced gather
+        f = info[:, 0]
+        cnt = info[:, 1]
+        child = goto_table[node, aid]
+
+        # ---- MATCH ----
+        m_act = mode == MATCH
+        at_end = i >= slen
+        step = m_act & ~at_end & (child >= 0)
+        climb = m_act & ~at_end & (child < 0) & (f >= 0)
+        to_val = m_act & (at_end | ((child < 0) & (f < 0)))
+
+        # ---- VALIDATE ----
+        v_act = mode == VALIDATE
+        bnd = bnd_of(cw, i, slen)
+        at_root = (node == 0) | (node == root_sharp) | (node == root_p)
+        inval = v_act & (~bnd | ~at_root)
+        corner = v_act & ~inval & (node == root_sharp) & (ptr == seg_ptr)
+
+        # ---- emissions (mutually exclusive cases) -> ONE scatter ----
+        ptr_eff = jnp.where(inval, seg_ptr, ptr)   # rollback before UNK
+        emit_cnt = jnp.where(climb, cnt,
+                             jnp.where(inval, 1,
+                                       jnp.where(corner,
+                                                 len(sharp_seq), 0)))
+        cols = ptr_eff[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        jmask = (jnp.arange(K, dtype=jnp.int32)[None, :]
+                 < emit_cnt[:, None])
+        vals = jnp.where(climb[:, None], info[:, NODE_INFO_POPS:
+                                              NODE_INFO_POPS + K],
+                         jnp.where(inval[:, None], unk_id,
+                                   sharp[None, :]))
+        flat_idx = jnp.where(jmask & (cols < CAP),
+                             rows[:, None] * OUTW + cols,
+                             S * OUTW)  # out-of-bounds -> dropped
+        out = st["out"].at[flat_idx.reshape(-1)].set(
+            jnp.where(jmask, vals, 0).reshape(-1), mode="drop")
+        ovf = ovf | (jmask & (cols >= CAP)).any(axis=1)
+        n_ptr = ptr_eff + emit_cnt
+
+        # ---- state updates ----
+        n_node = jnp.where(step, child, jnp.where(climb, f, node))
+        n_i = jnp.where(step, i + 1, i)
+        n_mode = jnp.where(to_val, VALIDATE, mode)
+        n_mode = jnp.where(v_act, SKIP1, n_mode)
+
+        # SKIP1: advance to next boundary
+        s1 = mode == SKIP1
+        adv1 = s1 & (i < slen) & ~bnd
+        n_i = jnp.where(adv1, i + 1, n_i)
+        n_mode = jnp.where(s1 & ~adv1, SKIP2, n_mode)
+
+        # SKIP2: skip whitespace
+        s2 = mode == SKIP2
+        sp = (cw & SP_BIT) != 0
+        adv2 = s2 & (i < slen) & sp
+        n_i = jnp.where(adv2, i + 1, n_i)
+        s2_done = s2 & ~adv2
+        restart = s2_done & (i < slen)
+        finish = s2_done & (i >= slen)
+        n_node = jnp.where(restart, 0, n_node)
+        n_seg = jnp.where(restart, n_ptr, seg_ptr)
+        n_mode = jnp.where(restart, MATCH,
+                           jnp.where(finish, DONE, n_mode))
+
+        return {"i": n_i, "node": n_node, "mode": n_mode, "ptr": n_ptr,
+                "seg_ptr": n_seg, "out": out, "ovf": ovf,
+                "it": st["it"] + 1}
+
+    zeros = jnp.zeros((S,), jnp.int32)
+    init = {
+        "i": zeros, "node": zeros,
+        "mode": jnp.where(slen > 0, MATCH, DONE),
+        "ptr": zeros, "seg_ptr": zeros,
+        "out": jnp.zeros((S * OUTW,), jnp.int32),
+        "ovf": jnp.zeros((S,), bool),
+        "it": jnp.int32(0),
+    }
+    st = jax.lax.while_loop(cond, body, init)
+    stuck = st["mode"] != DONE
+    out2d = st["out"].reshape(S, OUTW)[:, :CAP]
+    return out2d, st["ptr"], st["ovf"], stuck
