@@ -68,12 +68,27 @@ class NaiveBPE(SubwordTokenizer):
         self.corpus_as_symbols: List[Tuple[List[str], int]] = []
         self._encode_cache: Dict[str, List[str]] = {}
         self._device_tables = None
+        self._checkpoint_dir: Optional[str] = None
+        self._checkpoint_every = 1000
+        self._resume_dir: Optional[str] = None
+        self._progress = False
 
     # ------------------------------------------------------------ training
 
-    def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:
+    def train(self, corpus: List[str], max_vocab: int = 30_000, *,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 1000, resume: bool = False,
+              progress: bool = False) -> None:
         """Learn merges until the vocabulary reaches ``max_vocab``
-        (reference: source/bpe.py:50-112). Runs the merge loop on device."""
+        (reference: source/bpe.py:50-112). Runs the merge loop on device.
+
+        Extensions beyond the reference signature (keyword-only):
+        ``checkpoint_dir`` periodically writes ``merges.json`` (every
+        ``checkpoint_every`` merges, atomically) so an interrupted run can
+        continue with ``resume=True`` — the checkpointed merges are
+        replayed over the rebuilt corpus, reproducing the exact state.
+        ``progress`` shows a tqdm bar like the reference.
+        """
         if not isinstance(corpus, list) or not all(
                 isinstance(example, str) for example in corpus):
             raise TypeError("Corpus must be a list of strings.")
@@ -81,6 +96,10 @@ class NaiveBPE(SubwordTokenizer):
             raise TypeError("Maximum vocabulary size must be an integer.")
 
         self.reset()
+        self._checkpoint_dir = checkpoint_dir
+        self._checkpoint_every = max(int(checkpoint_every), 1)
+        self._resume_dir = checkpoint_dir if resume else None
+        self._progress = progress
 
         wb = self.preprocessing_batch(corpus)
         words, freq, _ = unique_words(wb)
@@ -103,9 +122,17 @@ class NaiveBPE(SubwordTokenizer):
 
         table = SymbolTable()
         corpus_arrays = build_bpe_corpus(words, freq, table)
+        # i32 fast path: every id this run can mint stays < 2^16 and all
+        # positions/weights fit i32 (see ops/pairstats.py).
+        n_pos = corpus_arrays.sym.shape[0] * max(
+            corpus_arrays.sym.shape[1] - 1, 1)
+        narrow = (max_vocab + len(table) + 8 < (1 << 16)
+                  and total_tokens < 2**31 and n_pos < 2**31)
+        bits = 16 if narrow else 21
         if self.mesh is not None:
             from ..parallel.train import (shard_corpus, sharded_apply_merge,
                                           sharded_bpe_select)
+            narrow, bits = False, 21
             sym, freq_dev = shard_corpus(self.mesh, corpus_arrays.sym,
                                          corpus_arrays.freq)
             select = lambda s, f: sharded_bpe_select(self.mesh, s, f)
@@ -114,22 +141,57 @@ class NaiveBPE(SubwordTokenizer):
         else:
             sym = jnp.asarray(corpus_arrays.sym)
             freq_dev = jnp.asarray(corpus_arrays.freq)
-            select = bpe_select
+            select = lambda s, f: bpe_select(s, f, narrow)
             apply_ = apply_merge
 
+        if self._resume_dir is not None:
+            # Mid-training resume: replay checkpointed merges over the
+            # rebuilt corpus (training is deterministic, so replay
+            # reproduces the exact interrupted state; SURVEY.md §5).
+            ckpt = NaiveBPE()
+            ckpt.load_resources(self._resume_dir, strict=True)
+            for sa, sb in ckpt.merges_list:
+                a_id = table.get(sa)
+                b_id = table.get(sb)
+                if a_id is None or b_id is None:
+                    raise ValueError(
+                        "checkpoint does not match this corpus: unknown "
+                        f"symbol in merge ({sa!r}, {sb!r})")
+                merged = sa + sb
+                self.vocab.add(merged)
+                self.merges_list.append((sa, sb))
+                sym = apply_(sym, a_id, b_id, table.intern(merged))
+
+        pbar = None
+        if self._progress:
+            from tqdm import tqdm
+            pbar = tqdm(total=max_vocab - len(self.vocab),
+                        desc="Training BPE")
+
+        steps = 0
         while len(self.vocab) < max_vocab:
             best_key, best_count, _ = select(sym, freq_dev)
             if int(best_count) <= 0:
                 break
             key = int(best_key)
-            a_id = key >> SYM_BITS
-            b_id = key & ((1 << SYM_BITS) - 1)
+            a_id = key >> bits
+            b_id = key & ((1 << bits) - 1)
             sa, sb = table.string(a_id), table.string(b_id)
             merged = sa + sb
             self.vocab.add(merged)
             self.merges_list.append((sa, sb))
             new_id = table.intern(merged)
             sym = apply_(sym, a_id, b_id, new_id)
+            steps += 1
+            if pbar is not None:
+                pbar.update(1)
+            if (self._checkpoint_dir is not None
+                    and steps % self._checkpoint_every == 0):
+                self.save_resources(self._checkpoint_dir)
+        if pbar is not None:
+            pbar.close()
+        if self._checkpoint_dir is not None:
+            self.save_resources(self._checkpoint_dir)
 
         # Keep a host-side view of the final corpus state for parity with
         # the reference's `corpus_as_symbols` (source/bpe.py:23).
@@ -289,21 +351,30 @@ class NaiveBPE(SubwordTokenizer):
         self._device_tables = None
 
     def save_resources(self, path: str) -> None:
-        """Write ``merges.json`` (reference format, source/bpe.py:167-177)."""
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "merges.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump(self.merges_list, f, ensure_ascii=False)
+        """Write ``merges.json`` (reference format, source/bpe.py:167-177).
 
-    def load_resources(self, path: str) -> None:
-        """Load ``merges.json``; missing file is a silent no-op
-        (reference quirk: source/bpe.py:179-189)."""
+        The write is atomic (tmp + rename) so a crash mid-save never
+        leaves a truncated resource — the file doubles as the training
+        checkpoint (see ``train``'s ``checkpoint_dir``)."""
+        os.makedirs(path, exist_ok=True)
+        target = os.path.join(path, "merges.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self.merges_list, f, ensure_ascii=False)
+        os.replace(tmp, target)
+
+    def load_resources(self, path: str, strict: bool = False) -> None:
+        """Load ``merges.json``. A missing file is a silent no-op for
+        parity with the reference (quirk: source/bpe.py:179-189); pass
+        ``strict=True`` to get a FileNotFoundError instead."""
         merges_file = os.path.join(path, "merges.json")
         if os.path.isfile(merges_file):
             with open(merges_file, "r", encoding="utf-8") as f:
                 self.merges_list = [tuple(pair) for pair in json.load(f)]
             self._encode_cache = {}
             self._device_tables = None
+        elif strict:
+            raise FileNotFoundError(merges_file)
 
 
 class FastBPE(NaiveBPE):
@@ -317,8 +388,9 @@ class FastBPE(NaiveBPE):
         super().__init__(tokenizer, mesh)
         self._bpe_ranks: Dict[Tuple[str, str], int] = {}
 
-    def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:
-        super().train(corpus, max_vocab)
+    def train(self, corpus: List[str], max_vocab: int = 30_000,
+              **kwargs) -> None:
+        super().train(corpus, max_vocab, **kwargs)
         self._bpe_ranks = {pair: i for i, pair in
                            enumerate(self.merges_list)}
 

@@ -61,12 +61,37 @@ class NaiveWP(SubwordTokenizer):
         self._encode_cache: Dict[str, List[str]] = {}
         self._match_trie = None
         self._match_out: Optional[SymbolTable] = None
+        self._checkpoint_dir: Optional[str] = None
+        self._checkpoint_every = 1000
+        self._resume_dir: Optional[str] = None
+        self._progress = False
+        self._merge_log: List[Tuple[str, str]] = []
+
+    def _save_checkpoint(self) -> None:
+        """Atomic mid-training checkpoint: vocab + merge log."""
+        os.makedirs(self._checkpoint_dir, exist_ok=True)
+        target = os.path.join(self._checkpoint_dir, "wp_state.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"vocab": list(self.vocab),
+                       "merges": self._merge_log}, f, ensure_ascii=False)
+        os.replace(tmp, target)
+        self.save_resources(self._checkpoint_dir)
 
     # ------------------------------------------------------------ training
 
-    def train(self, corpus: List[str], max_vocab: int = 30_000) -> None:
+    def train(self, corpus: List[str], max_vocab: int = 30_000, *,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 1000, resume: bool = False,
+              progress: bool = False) -> None:
         """Learn the vocabulary by likelihood-scored merges
-        (reference: source/wordpiece.py:29-103); merge loop on device."""
+        (reference: source/wordpiece.py:29-103); merge loop on device.
+
+        Keyword-only extensions mirror NaiveBPE.train: periodic atomic
+        checkpoints (vocab + the internal merge log, which the reference
+        does not record but which resume needs to replay corpus state)
+        and optional tqdm progress.
+        """
         if not isinstance(corpus, list) or not all(
                 isinstance(example, str) for example in corpus):
             raise TypeError("corpus must be a list of strings.")
@@ -74,6 +99,11 @@ class NaiveWP(SubwordTokenizer):
             raise TypeError("max_vocab must be an int.")
 
         self.reset()
+        self._checkpoint_dir = checkpoint_dir
+        self._checkpoint_every = max(int(checkpoint_every), 1)
+        self._resume_dir = checkpoint_dir if resume else None
+        self._progress = progress
+        self._merge_log: List[Tuple[str, str]] = []
 
         wb = self.preprocessing_batch(corpus)
         words, freq, _ = unique_words(wb)
@@ -95,10 +125,15 @@ class NaiveWP(SubwordTokenizer):
         corpus_arrays = build_wp_corpus(words, freq, table)
         self.vocab |= set(table.strings())
         sym_cap = len(table) + max(max_vocab - len(self.vocab), 0) + 8
+        n_pos = corpus_arrays.sym.shape[0] * max(
+            corpus_arrays.sym.shape[1] - 1, 1)
+        narrow = sym_cap + 8 < (1 << 16) and n_pos < 2**31
+        bits = 16 if narrow else 21
 
         if self.mesh is not None:
             from ..parallel.train import (shard_corpus, sharded_apply_merge,
                                           sharded_wp_select)
+            narrow, bits = False, 21
             sym, freq_dev = shard_corpus(self.mesh, corpus_arrays.sym,
                                          corpus_arrays.freq)
             select = lambda s, f: sharded_wp_select(self.mesh, s, f, sym_cap)
@@ -107,21 +142,55 @@ class NaiveWP(SubwordTokenizer):
         else:
             sym = jnp.asarray(corpus_arrays.sym)
             freq_dev = jnp.asarray(corpus_arrays.freq)
-            select = lambda s, f: wp_select(s, f, sym_cap)
+            select = lambda s, f: wp_select(s, f, sym_cap, narrow)
             apply_merge_fn = apply_merge
 
+        if self._resume_dir is not None:
+            state_file = os.path.join(self._resume_dir, "wp_state.json")
+            with open(state_file, "r", encoding="utf-8") as f:
+                state = json.load(f)
+            for sa, sb in (tuple(p) for p in state["merges"]):
+                a_id = table.get(sa)
+                b_id = table.get(sb)
+                if a_id is None or b_id is None:
+                    raise ValueError(
+                        "checkpoint does not match this corpus: unknown "
+                        f"symbol in merge ({sa!r}, {sb!r})")
+                merged = sa + sb[2:]
+                self.vocab.add(merged)
+                self._merge_log.append((sa, sb))
+                sym = apply_merge_fn(sym, a_id, b_id, table.intern(merged))
+
+        pbar = None
+        if self._progress:
+            from tqdm import tqdm
+            pbar = tqdm(total=max_vocab - len(self.vocab),
+                        desc="Training WordPiece")
+
+        steps = 0
         while len(self.vocab) < max_vocab:
             best_key, _, _, best_count = select(sym, freq_dev)
             if int(best_count) <= 0:
                 break
             key = int(best_key)
-            a_id = key >> SYM_BITS
-            b_id = key & ((1 << SYM_BITS) - 1)
+            a_id = key >> bits
+            b_id = key & ((1 << bits) - 1)
             sa, sb = table.string(a_id), table.string(b_id)
             merged = sa + sb[2:]
             self.vocab.add(merged)
+            self._merge_log.append((sa, sb))
             new_id = table.intern(merged)
             sym = apply_merge_fn(sym, a_id, b_id, new_id)
+            steps += 1
+            if pbar is not None:
+                pbar.update(1)
+            if (self._checkpoint_dir is not None
+                    and steps % self._checkpoint_every == 0):
+                self._save_checkpoint()
+        if pbar is not None:
+            pbar.close()
+        if self._checkpoint_dir is not None:
+            self._save_checkpoint()
 
         sym_host = np.asarray(sym)
         self.corpus_as_symbols = [
@@ -240,15 +309,18 @@ class NaiveWP(SubwordTokenizer):
 
     def save_resources(self, path: str) -> None:
         """Write ``vocab.json`` (reference format,
-        source/wordpiece.py:186-196)."""
+        source/wordpiece.py:186-196); atomic like NaiveBPE."""
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "vocab.json"), "w",
-                  encoding="utf-8") as f:
+        target = os.path.join(path, "vocab.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(list(self.vocab), f, ensure_ascii=False)
+        os.replace(tmp, target)
 
-    def load_resources(self, path: str) -> None:
-        """Load ``vocab.json``; missing file is a silent no-op
-        (reference quirk: source/wordpiece.py:198-208)."""
+    def load_resources(self, path: str, strict: bool = False) -> None:
+        """Load ``vocab.json``. A missing file is a silent no-op for
+        parity (reference quirk: source/wordpiece.py:198-208); pass
+        ``strict=True`` for a FileNotFoundError instead."""
         vocab_file = os.path.join(path, "vocab.json")
         if os.path.isfile(vocab_file):
             with open(vocab_file, "r", encoding="utf-8") as f:
@@ -256,6 +328,8 @@ class NaiveWP(SubwordTokenizer):
             self._encode_cache = {}
             self._match_trie = None
             self._match_out = None
+        elif strict:
+            raise FileNotFoundError(vocab_file)
 
 
 class FastWP(NaiveWP):
@@ -273,8 +347,8 @@ class FastWP(NaiveWP):
 
     # ------------------------------------------------------------ training
 
-    def train(self, corpus, max_vocab: int = 30_000) -> None:
-        super().train(corpus, max_vocab)
+    def train(self, corpus, max_vocab: int = 30_000, **kwargs) -> None:
+        super().train(corpus, max_vocab, **kwargs)
         self._build_e2e()
 
     def _build_e2e(self):

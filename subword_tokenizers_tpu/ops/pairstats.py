@@ -5,11 +5,11 @@ corpus each merge step (source/bpe.py:90-95, source/wordpiece.py:70-73) and
 selects the winner with Counter/dict-insertion-order tie-breaks. Here the
 whole step is one fused XLA program over the padded symbol tensor:
 
-1. pack each adjacent pair into an i64 key ``a * 2^21 + b``;
+1. pack each adjacent pair into a single integer key;
 2. lexicographic ``lax.sort`` by (key, scan-position) — runs of equal keys
    end up contiguous with the *earliest scan position first*, which is
    exactly the Counter first-insertion order the reference tie-breaks on;
-3. run aggregation with cumsum / reverse-cummax (no scatter needed):
+3. run aggregation with cumsum / reverse-cummin (no scatter needed):
    per-run total weight and first-seen position;
 4. selection: BPE takes max count then min first-seen (reproducing
    ``Counter.most_common(1)``, source/bpe.py:102); WordPiece takes max
@@ -17,7 +17,13 @@ whole step is one fused XLA program over the padded symbol tensor:
    integer long division (see ops/bitmath.py) — then min first-seen
    (reproducing ``max(scores, key=scores.get)``, source/wordpiece.py:92).
 
-All arithmetic is i64; no floating point touches the conformance path.
+Two key widths share the code: the **i32 fast path** packs pairs as
+``a << 16 | b`` (valid while symbol ids < 2^16 and corpus weights <
+2^31 — virtually every real training run; 64-bit integer ops are
+*emulated* on this TPU generation, so the narrow sort is several times
+faster), and the i64 path packs ``a << 21 | b`` for larger vocabularies.
+The trainers choose once per run from static bounds. No floating point
+touches the conformance path.
 """
 from __future__ import annotations
 
@@ -29,32 +35,44 @@ import jax.numpy as jnp
 
 from .bitmath import div_double_bits
 
-# Symbol ids must stay below 2^21 (≈2M distinct symbols) so a pair packs
-# into 42 bits and key*positions stays well inside i64.
+# i64 path: symbol ids < 2^21 (≈2M distinct symbols).
 SYM_BITS = 21
 SYM_SPACE = 1 << SYM_BITS
-KEY_SENTINEL = jnp.int64((1 << 62))
+KEY_SENTINEL = jnp.int64(1 << 62)
+
+# i32 fast path: symbol ids < 2^16.
+SYM_BITS32 = 16
+SYM_SPACE32 = 1 << SYM_BITS32
+KEY_SENTINEL32 = jnp.int32(2**31 - 1)
 
 I64_MAX = jnp.iinfo(jnp.int64).max
+I32_MAX = jnp.iinfo(jnp.int32).max
 
 
-def pack_pairs(sym: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Pack adjacent pairs of a padded i32 symbol tensor into i64 keys.
+def _consts(narrow: bool):
+    if narrow:
+        return (jnp.int32, SYM_BITS32, SYM_SPACE32, KEY_SENTINEL32, I32_MAX)
+    return (jnp.int64, SYM_BITS, SYM_SPACE, KEY_SENTINEL, I64_MAX)
 
-    Returns (keys i64[n*(L-1)], pos i64[n*(L-1)]) flattened row-major —
-    row-major order over (word, position) is the reference's scan order.
-    Invalid slots (either side padded) get KEY_SENTINEL.
+
+def pack_pairs(sym: jax.Array, narrow: bool) -> Tuple[jax.Array, jax.Array]:
+    """Pack adjacent pairs of a padded i32 symbol tensor into keys.
+
+    Returns (keys[n*(L-1)], pos[n*(L-1)]) flattened row-major — row-major
+    order over (word, position) is the reference's scan order. Invalid
+    slots (either side padded) get the sentinel key.
     """
+    dt, bits, _, sentinel, _ = _consts(narrow)
     n, L = sym.shape
-    a = sym[:, :-1].astype(jnp.int64)
-    b = sym[:, 1:].astype(jnp.int64)
+    a = sym[:, :-1].astype(dt)
+    b = sym[:, 1:].astype(dt)
     valid = (a >= 0) & (b >= 0)
-    keys = jnp.where(valid, (a << SYM_BITS) | b, KEY_SENTINEL)
-    pos = jnp.arange(n * (L - 1), dtype=jnp.int64)
+    keys = jnp.where(valid, (a << bits) | b, sentinel)
+    pos = jnp.arange(n * (L - 1), dtype=dt)
     return keys.reshape(-1), pos
 
 
-def _run_aggregate(keys: jax.Array, pos: jax.Array, w: jax.Array):
+def _run_aggregate(keys, pos, w, narrow: bool):
     """Sort pairs and aggregate runs of equal keys.
 
     Returns (k_s, p_s, run_total, is_cand) where for every element of the
@@ -62,6 +80,7 @@ def _run_aggregate(keys: jax.Array, pos: jax.Array, w: jax.Array):
     element), ``p_s`` at a run's first element is the run's minimum scan
     position, and ``is_cand`` marks run starts of real (non-sentinel) keys.
     """
+    _, _, _, sentinel, vmax = _consts(narrow)
     k_s, p_s, w_s = jax.lax.sort((keys, pos, w), num_keys=2)
     one = jnp.ones((1,), dtype=bool)
     is_start = jnp.concatenate([one, k_s[1:] != k_s[:-1]])
@@ -71,67 +90,74 @@ def _run_aggregate(keys: jax.Array, pos: jax.Array, w: jax.Array):
     # (cumsum at nearest run end >= i) - (cumsum before run start). cw is
     # strictly increasing, so the nearest masked value to the right is the
     # reverse running minimum.
-    end_cum = jax.lax.cummin(jnp.where(is_end, cw, I64_MAX), axis=0,
+    end_cum = jax.lax.cummin(jnp.where(is_end, cw, vmax), axis=0,
                              reverse=True)
     run_total = end_cum - (cw - w_s)
-    is_cand = is_start & (k_s != KEY_SENTINEL)
+    is_cand = is_start & (k_s != sentinel)
     return k_s, p_s, run_total, is_cand
 
 
 def _select(k_s, p_s, metric, is_cand):
     """Winner = max metric, ties broken by min scan position (first-seen)."""
-    metric = jnp.where(is_cand, metric, jnp.int64(-1))
+    neg = jnp.asarray(-1, dtype=metric.dtype)
+    metric = jnp.where(is_cand, metric, neg)
     best_metric = jnp.max(metric)
-    fs = jnp.where(metric == best_metric, p_s, I64_MAX)
+    pos_max = jnp.iinfo(p_s.dtype).max
+    fs = jnp.where(metric == best_metric, p_s,
+                   jnp.asarray(pos_max, dtype=p_s.dtype))
     best_fs = jnp.min(fs)
     at = (metric == best_metric) & (p_s == best_fs)
-    best_key = jnp.max(jnp.where(at, k_s, jnp.int64(-1)))
+    best_key = jnp.max(jnp.where(at, k_s, jnp.asarray(-1, dtype=k_s.dtype)))
     return best_key, best_metric, best_fs
 
 
-@jax.jit
-def bpe_select(sym: jax.Array, freq: jax.Array):
+@partial(jax.jit, static_argnames=("narrow",))
+def bpe_select(sym: jax.Array, freq: jax.Array, narrow: bool = False):
     """One BPE selection: most frequent pair, first-seen tie-break.
 
     Returns (best_key, best_count, best_first_seen). ``best_count <= 0``
     means no pairs remain (reference exit: source/bpe.py:98-99).
     """
+    dt = _consts(narrow)[0]
     n, L = sym.shape
-    keys, pos = pack_pairs(sym)
-    w = jnp.broadcast_to(freq[:, None], (n, L - 1)).reshape(-1)
-    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w)
+    keys, pos = pack_pairs(sym, narrow)
+    w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
+    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
     return _select(k_s, p_s, run_total, is_cand)
 
 
-@partial(jax.jit, static_argnames=("sym_cap",))
-def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int):
+@partial(jax.jit, static_argnames=("sym_cap", "narrow"))
+def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
+              narrow: bool = False):
     """One WordPiece selection: max score ``pair/(fa*fb)``, first-seen
     tie-break, with score compared as the exact Python double.
 
     ``sym_cap`` is a static bound on the number of distinct symbol ids.
     Returns (best_key, best_score_bits, best_first_seen, best_count).
+    The exact-double scoring stays in i64 (its domain needs 53 bits); only
+    the dominant sort narrows on the fast path.
     """
+    dt, bits, space, _, _ = _consts(narrow)
     n, L = sym.shape
-    keys, pos = pack_pairs(sym)
-    w = jnp.broadcast_to(freq[:, None], (n, L - 1)).reshape(-1)
-    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w)
+    keys, pos = pack_pairs(sym, narrow)
+    w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
+    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
     # Per-symbol frequencies (reference: source/wordpiece.py:78-81).
     flat = sym.reshape(-1)
-    wsym = jnp.broadcast_to(freq[:, None], (n, L)).reshape(-1)
+    wsym = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L)).reshape(-1)
     seg = jnp.where(flat >= 0, flat, sym_cap).astype(jnp.int32)
     sym_freq = jax.ops.segment_sum(
         jnp.where(flat >= 0, wsym, 0), seg, num_segments=sym_cap + 1)
 
-    a = (k_s >> SYM_BITS) & (SYM_SPACE - 1)
-    b = k_s & (SYM_SPACE - 1)
+    a = (k_s >> bits) & (space - 1)
+    b = k_s & (space - 1)
     a = jnp.where(is_cand, a, 0).astype(jnp.int32)
     b = jnp.where(is_cand, b, 0).astype(jnp.int32)
-    denom = sym_freq[a] * sym_freq[b]
-    c = jnp.maximum(run_total, 1)
+    denom = sym_freq[a].astype(jnp.int64) * sym_freq[b].astype(jnp.int64)
+    c = jnp.maximum(run_total, 1).astype(jnp.int64)
     score_bits = div_double_bits(c, jnp.maximum(denom, 1))
     best_key, best_bits, best_fs = _select(k_s, p_s, score_bits, is_cand)
-
     count_at = jnp.max(jnp.where((k_s == best_key) & is_cand, run_total,
-                                 jnp.int64(-1)))
+                                 jnp.asarray(-1, dtype=run_total.dtype)))
     return best_key, best_bits, best_fs, count_at

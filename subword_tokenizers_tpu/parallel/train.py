@@ -63,7 +63,8 @@ def sharded_bpe_select(mesh, sym, freq):
         keys_g = jax.lax.all_gather(keys, DATA_AXIS, tiled=True)
         pos_g = jax.lax.all_gather(pos, DATA_AXIS, tiled=True)
         w_g = jax.lax.all_gather(w, DATA_AXIS, tiled=True)
-        k_s, p_s, run_total, is_cand = _run_aggregate(keys_g, pos_g, w_g)
+        k_s, p_s, run_total, is_cand = _run_aggregate(keys_g, pos_g, w_g,
+                                                      False)
         return _select(k_s, p_s, run_total, is_cand)
 
     return step(sym, freq)
@@ -93,7 +94,8 @@ def sharded_wp_select(mesh, sym, freq, sym_cap):
         keys_g = jax.lax.all_gather(keys, DATA_AXIS, tiled=True)
         pos_g = jax.lax.all_gather(pos, DATA_AXIS, tiled=True)
         w_g = jax.lax.all_gather(w, DATA_AXIS, tiled=True)
-        k_s, p_s, run_total, is_cand = _run_aggregate(keys_g, pos_g, w_g)
+        k_s, p_s, run_total, is_cand = _run_aggregate(keys_g, pos_g, w_g,
+                                                      False)
 
         a = jnp.where(is_cand, (k_s >> SYM_BITS) & (SYM_SPACE - 1),
                       0).astype(jnp.int32)
