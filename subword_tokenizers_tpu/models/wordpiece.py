@@ -61,6 +61,7 @@ class NaiveWP(SubwordTokenizer):
         self._encode_cache: Dict[str, List[str]] = {}
         self._match_trie = None
         self._match_out: Optional[SymbolTable] = None
+        self._match_dev = None
         self._checkpoint_dir: Optional[str] = None
         self._checkpoint_every = 1000
         self._resume_dir: Optional[str] = None
@@ -248,10 +249,15 @@ class NaiveWP(SubwordTokenizer):
 
     def _build_match_trie(self):
         if self._match_trie is None:
+            import jax.numpy as jnp
             out = SymbolTable()
             out.intern(UNK)
-            self._match_trie = MatchTrie.build(sorted(self.vocab), out)
+            trie = MatchTrie.build(sorted(self.vocab), out)
+            self._match_trie = trie
             self._match_out = out
+            # Device-resident model state, uploaded once.
+            self._match_dev = (jnp.asarray(trie.goto),
+                               jnp.asarray(trie.accept))
         return self._match_trie, self._match_out
 
     def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
@@ -266,9 +272,10 @@ class NaiveWP(SubwordTokenizer):
         wmat = np.full((W, L), trie.n_alpha, dtype=np.int32)
         mask = np.arange(L, dtype=np.int32)[None, :] < wlen[:, None]
         wmat[mask] = flat
+        goto_dev, accept_dev = self._match_dev
         out, out_n, unk, ovf = wp_match_encode(
             jnp.asarray(wmat), jnp.asarray(wlen),
-            jnp.asarray(trie.goto), jnp.asarray(trie.accept),
+            goto_dev, accept_dev,
             int(trie.alpha[ord("#")]))
         out = np.asarray(out)
         out_n = np.asarray(out_n)
@@ -480,15 +487,18 @@ class FastWP(NaiveWP):
             return self._run_e2e(cps, slen)
         if getattr(self, "_packed_cache", None) is None or \
                 self._packed_cache[0] is not trie:
+            # Upload the model state once per trie — the goto table is
+            # tens of MB and must not travel to the device on every call.
             info = pack_node_info(trie.fail, trie.pops_off, trie.pops_flat,
                                   n_pops)
-            self._packed_cache = (trie, jnp.asarray(info))
-        node_info = self._packed_cache[1]
+            self._packed_cache = (trie, jnp.asarray(info),
+                                  jnp.asarray(trie.goto))
+        _, node_info, goto_dev = self._packed_cache
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
         pchar = pack_chars(trie.alpha[cps], WS_PY[cps], PUNC_PY[cps])
         out, out_n, ovf, stuck = wp_e2e_scan(
             jnp.asarray(pchar), jnp.asarray(slen.astype(np.int32)),
-            jnp.asarray(trie.goto), node_info,
+            goto_dev, node_info,
             trie.root_p, trie.root_sharp, self._unk_id,
             sharp_seq, n_pops)
         return self._finish_e2e(out, out_n, ovf, stuck, out_table)
