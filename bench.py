@@ -50,7 +50,10 @@ def main():
     log(f"conformance: {exact}/{len(corpus)} sentences exact")
     assert exact == len(corpus), "conformance failure — refusing to bench"
 
-    big = corpus * REPLICAS
+    # Replicate with a per-replica marker word so every sentence is
+    # unique — sentence-level caching must not fire; word-level Zipf
+    # repetition (which dedup legitimately exploits) is preserved.
+    big = [f"w{k} {s}" for k in range(REPLICAS) for s in corpus]
     nbytes = sum(len(s.encode("utf-8")) for s in big)
     # Second warmup at the benchmark shape.
     tok.tokenize_batch(big)

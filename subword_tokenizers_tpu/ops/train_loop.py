@@ -1,0 +1,160 @@
+"""Device-resident multi-step merge loop.
+
+The host-driven trainer costs one device round trip per merge (painful
+through a remote-dispatch TPU link). This loop runs K merge steps in one
+jitted ``lax.scan``, which requires resolving the only host dependency —
+*string interning* — on device:
+
+- every symbol carries two independent 31-bit rolling hashes (mod the
+  Mersenne prime 2^31-1) plus its length; the merged symbol's hashes are
+  computed from its parts in O(1) (for WordPiece, the leading "##" of the
+  right part is algebraically stripped: h(b[2:]) = h(b) - h("##")·B^(|b|-2));
+- "already in vocab" (reference: the string-set membership of
+  source/bpe.py:103 / source/wordpiece.py:96) becomes an exact
+  (h1, h2, len) table match; a hit reuses the existing id, a miss appends.
+
+A double-hash collision would silently merge two distinct strings, so the
+host *verifies* every decoded merge record against real strings after each
+K-block (models re-intern and compare ids); on the ~2^-62-probability
+mismatch the caller falls back to the exact per-step path. Determinism is
+unaffected — hashes only gate id reuse, never selection order.
+
+Per-step records returned: (a_id, b_id, new_id, matched, active).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bitmath import div_double_bits
+from .merge import apply_merge
+from .pairstats import _consts, _run_aggregate, _select, pack_pairs
+
+MOD = (1 << 31) - 1  # Mersenne prime; products stay exact in i64
+HASH_B1 = 1_000_003
+HASH_B2 = 805_306_457
+
+
+def _mulmod(x, y):
+    return (x * y) % MOD
+
+
+def str_hashes(s: str) -> Tuple[int, int]:
+    """Host-side reference implementation of the rolling hashes."""
+    h1 = h2 = 0
+    for c in s:
+        v = (ord(c) + 1) % MOD
+        h1 = (h1 * HASH_B1 + v) % MOD
+        h2 = (h2 * HASH_B2 + v) % MOD
+    return h1, h2
+
+
+def pow_tables(max_len: int):
+    """B^l mod M for l in [0, max_len], both bases (numpy int64)."""
+    import numpy as np
+    p1 = np.ones(max_len + 1, dtype=np.int64)
+    p2 = np.ones(max_len + 1, dtype=np.int64)
+    for l in range(1, max_len + 1):
+        p1[l] = (p1[l - 1] * HASH_B1) % MOD
+        p2[l] = (p2[l - 1] * HASH_B2) % MOD
+    return p1, p2
+
+
+@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
+                                   "max_vocab"))
+def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
+                sharp_h1, sharp_h2, K, narrow, sym_cap, wordpiece,
+                max_vocab):
+    """Run up to K merge steps on device.
+
+    sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
+    tables and lengths (entries >= n_sym are zero); pw1/pw2: i64[P] hash
+    base powers (P > max mergeable symbol length); sharp_h1/2: hashes of
+    the literal "##". Returns (new state..., records dict of [K] arrays).
+    """
+    dt, bits, space, _, _ = _consts(narrow)
+
+    def step(carry, _):
+        sym, h1, h2, slen, n_sym, vocab_size, alive = carry
+        n, L = sym.shape
+
+        keys, pos = pack_pairs(sym, narrow)
+        w = jnp.broadcast_to(freq.astype(dt)[:, None],
+                             (n, L - 1)).reshape(-1)
+        k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
+
+        if wordpiece:
+            flat = sym.reshape(-1)
+            wsym = jnp.broadcast_to(freq.astype(dt)[:, None],
+                                    (n, L)).reshape(-1)
+            seg = jnp.where(flat >= 0, flat, sym_cap).astype(jnp.int32)
+            sym_freq = jax.ops.segment_sum(
+                jnp.where(flat >= 0, wsym, 0), seg,
+                num_segments=sym_cap + 1)
+            a_all = jnp.where(is_cand, (k_s >> bits) & (space - 1),
+                              0).astype(jnp.int32)
+            b_all = jnp.where(is_cand, k_s & (space - 1),
+                              0).astype(jnp.int32)
+            denom = (sym_freq[a_all].astype(jnp.int64)
+                     * sym_freq[b_all].astype(jnp.int64))
+            metric = div_double_bits(
+                jnp.maximum(run_total, 1).astype(jnp.int64),
+                jnp.maximum(denom, 1))
+            best_key, _, _ = _select(k_s, p_s, metric, is_cand)
+            count_at = jnp.max(jnp.where((k_s == best_key) & is_cand,
+                                         run_total,
+                                         jnp.asarray(-1, run_total.dtype)))
+        else:
+            best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
+
+        active = alive & (count_at > 0) & (vocab_size < max_vocab)
+        a = jnp.where(active, (best_key >> bits) & (space - 1),
+                      0).astype(jnp.int32)
+        b = jnp.where(active, best_key & (space - 1), 0).astype(jnp.int32)
+
+        # Merged symbol hash/length from parts (O(1) string algebra).
+        la = slen[a]
+        lb = slen[b]
+        if wordpiece:
+            lbp = jnp.maximum(lb - 2, 0)
+            hb1 = (h1[b] - _mulmod(sharp_h1, pw1[lbp])) % MOD
+            hb2 = (h2[b] - _mulmod(sharp_h2, pw2[lbp])) % MOD
+        else:
+            lbp = lb
+            hb1 = h1[b]
+            hb2 = h2[b]
+        m1 = (_mulmod(h1[a], pw1[lbp]) + hb1) % MOD
+        m2 = (_mulmod(h2[a], pw2[lbp]) + hb2) % MOD
+        lm = la + lbp
+
+        # Exact (h1, h2, len) membership over the live table.
+        ids = jnp.arange(sym_cap, dtype=jnp.int32)
+        live = ids < n_sym
+        hit = live & (h1 == m1) & (h2 == m2) & (slen == lm)
+        matched = jnp.any(hit)
+        matched_id = jnp.max(jnp.where(hit, ids, -1))
+        new_id = jnp.where(matched, matched_id, n_sym).astype(jnp.int32)
+
+        # Append on miss.
+        grow = active & ~matched
+        at = jnp.where(grow, n_sym, sym_cap - 1)
+        h1 = h1.at[at].set(jnp.where(grow, m1, h1[at]))
+        h2 = h2.at[at].set(jnp.where(grow, m2, h2[at]))
+        slen = slen.at[at].set(jnp.where(grow, lm, slen[at]))
+        n_sym = n_sym + grow.astype(jnp.int32)
+        vocab_size = vocab_size + (active & ~matched).astype(jnp.int32)
+
+        new_sym = apply_merge(sym, jnp.where(active, a, -3),
+                              jnp.where(active, b, -3), new_id)
+
+        rec = {"a": a, "b": b, "new_id": new_id, "matched": matched,
+               "active": active}
+        return ((new_sym, h1, h2, slen, n_sym, vocab_size,
+                 alive & active), rec)
+
+    carry0 = (sym, h1, h2, slen, n_sym, vocab_size, jnp.bool_(True))
+    carry, recs = jax.lax.scan(step, carry0, None, length=K)
+    return carry, recs
