@@ -168,26 +168,60 @@ class NaiveBPE(SubwordTokenizer):
             pbar = tqdm(total=max_vocab - len(self.vocab),
                         desc="Training BPE")
 
-        steps = 0
-        while len(self.vocab) < max_vocab:
-            best_key, best_count, _ = select(sym, freq_dev)
-            if int(best_count) <= 0:
-                break
-            key = int(best_key)
-            a_id = key >> bits
-            b_id = key & ((1 << bits) - 1)
-            sa, sb = table.string(a_id), table.string(b_id)
-            merged = sa + sb
-            self.vocab.add(merged)
-            self.merges_list.append((sa, sb))
-            new_id = table.intern(merged)
-            sym = apply_(sym, a_id, b_id, new_id)
-            steps += 1
-            if pbar is not None:
-                pbar.update(1)
-            if (self._checkpoint_dir is not None
-                    and steps % self._checkpoint_every == 0):
-                self.save_resources(self._checkpoint_dir)
+        fused_done = False
+        if self.mesh is None and not getattr(self, "_force_per_step", False):
+            from ..ops.train_loop import HashCollision, run_fused
+
+            def on_merge(sa, sb, merged):
+                self.vocab.add(merged)
+                self.merges_list.append((sa, sb))
+
+            try:
+                sym = run_fused(
+                    sym, freq_dev, table, max_vocab, narrow, False,
+                    on_merge,
+                    checkpoint_cb=(
+                        (lambda: self.save_resources(self._checkpoint_dir))
+                        if self._checkpoint_dir is not None else None),
+                    progress_cb=pbar.update if pbar is not None else None)
+                fused_done = True
+            except HashCollision:
+                # Astronomically rare double-hash collision: redo the
+                # whole run with the exact per-step loop.
+                if pbar is not None:
+                    pbar.close()
+                self._force_per_step = True
+                try:
+                    return self.train(
+                        corpus, max_vocab,
+                        checkpoint_dir=self._checkpoint_dir,
+                        checkpoint_every=self._checkpoint_every,
+                        resume=self._resume_dir is not None,
+                        progress=self._progress)
+                finally:
+                    self._force_per_step = False
+
+        if not fused_done:
+            steps = 0
+            while len(self.vocab) < max_vocab:
+                best_key, best_count, _ = select(sym, freq_dev)
+                if int(best_count) <= 0:
+                    break
+                key = int(best_key)
+                a_id = key >> bits
+                b_id = key & ((1 << bits) - 1)
+                sa, sb = table.string(a_id), table.string(b_id)
+                merged = sa + sb
+                self.vocab.add(merged)
+                self.merges_list.append((sa, sb))
+                new_id = table.intern(merged)
+                sym = apply_(sym, a_id, b_id, new_id)
+                steps += 1
+                if pbar is not None:
+                    pbar.update(1)
+                if (self._checkpoint_dir is not None
+                        and steps % self._checkpoint_every == 0):
+                    self.save_resources(self._checkpoint_dir)
         if pbar is not None:
             pbar.close()
         if self._checkpoint_dir is not None:

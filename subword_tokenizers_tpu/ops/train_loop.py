@@ -63,11 +63,10 @@ def pow_tables(max_len: int):
     return p1, p2
 
 
-@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "max_vocab"))
+@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece"))
 def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
-                sharp_h1, sharp_h2, K, narrow, sym_cap, wordpiece,
-                max_vocab):
+                sharp_h1, sharp_h2, max_vocab, K, narrow, sym_cap,
+                wordpiece):
     """Run up to K merge steps on device.
 
     sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
@@ -158,3 +157,74 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
     carry0 = (sym, h1, h2, slen, n_sym, vocab_size, jnp.bool_(True))
     carry, recs = jax.lax.scan(step, carry0, None, length=K)
     return carry, recs
+
+
+class HashCollision(Exception):
+    """Device hash unification disagreed with real string interning."""
+
+
+def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
+              on_merge, K: int = 64, checkpoint_cb=None, progress_cb=None):
+    """Host driver for the K-step device loop.
+
+    ``table`` is the live SymbolTable (vocabulary == its string set for
+    both algorithms); ``on_merge(sa, sb, merged)`` is called per merge in
+    order. Every decoded record is verified against real interning —
+    raises :class:`HashCollision` on any disagreement (caller falls back
+    to the exact per-step path). Returns the final device symbol tensor.
+    """
+    import numpy as np
+
+    n, L = sym_dev.shape
+    n0 = len(table)
+    if n0 >= max_vocab:
+        return sym_dev
+    sym_cap = max(max_vocab, n0) + 8
+    if narrow and sym_cap >= (1 << 16):
+        narrow = False
+
+    h1 = np.zeros(sym_cap, dtype=np.int64)
+    h2 = np.zeros(sym_cap, dtype=np.int64)
+    sl = np.zeros(sym_cap, dtype=np.int64)
+    for i, s in enumerate(table.strings()):
+        h1[i], h2[i] = str_hashes(s)
+        sl[i] = len(s)
+    pw1, pw2 = pow_tables(L + 4)
+    sh1, sh2 = str_hashes("##")
+
+    carry = (sym_dev, jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(sl),
+             jnp.int32(n0), jnp.int32(n0), jnp.bool_(True))
+    pw1_d = jnp.asarray(pw1)
+    pw2_d = jnp.asarray(pw2)
+
+    done = False
+    while not done:
+        state, recs = train_steps(
+            carry[0], freq_dev, carry[1], carry[2], carry[3], carry[4],
+            carry[5], pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
+            narrow, sym_cap, wordpiece)
+        recs_np = jax.device_get(recs)
+        steps_done = 0
+        for k in range(K):
+            if not bool(recs_np["active"][k]):
+                done = True
+                break
+            a = int(recs_np["a"][k])
+            b = int(recs_np["b"][k])
+            sa, sb = table.string(a), table.string(b)
+            merged = sa + (sb[2:] if wordpiece else sb)
+            nid = table.intern(merged)
+            if nid != int(recs_np["new_id"][k]):
+                raise HashCollision(
+                    f"step {len(table)}: device id {recs_np['new_id'][k]} "
+                    f"!= host id {nid} for {merged!r}")
+            on_merge(sa, sb, merged)
+            steps_done += 1
+        carry = state
+        if progress_cb is not None and steps_done:
+            progress_cb(steps_done)
+        if checkpoint_cb is not None and steps_done:
+            checkpoint_cb()
+        if len(table) >= max_vocab:
+            done = True
+    return carry[0]
