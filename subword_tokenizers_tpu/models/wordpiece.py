@@ -528,11 +528,28 @@ class FastWP(NaiveWP):
         _, node_info, goto_dev = self._packed_cache
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
         pchar = pack_chars(trie.alpha[cps], WS_PY[cps], PUNC_PY[cps])
-        out, out_n, ovf, stuck = wp_e2e_scan(
-            jnp.asarray(pchar), jnp.asarray(slen.astype(np.int32)),
-            goto_dev, node_info,
-            trie.root_p, trie.root_sharp, self._unk_id,
-            sharp_seq, n_pops)
+        slen32 = slen.astype(np.int32)
+        if self.mesh is not None:
+            # Row-parallel encode across the data mesh; model state
+            # (goto/node tables) is replicated.
+            from ..parallel.encode import (pad_rows, put_sharded,
+                                           sharded_e2e_scan)
+            pchar_p, slen_p, n_real = pad_rows(self.mesh, pchar, slen32)
+            pchar_d, slen_d = put_sharded(self.mesh, pchar_p, slen_p)
+            out, out_n, ovf, stuck = sharded_e2e_scan(
+                self.mesh, pchar_d, slen_d, goto_dev, node_info,
+                trie.root_p, trie.root_sharp, self._unk_id,
+                sharp_seq, n_pops)
+            out = out[:n_real]
+            out_n = out_n[:n_real]
+            ovf = ovf[:n_real]
+            stuck = stuck[:n_real]
+        else:
+            out, out_n, ovf, stuck = wp_e2e_scan(
+                jnp.asarray(pchar), jnp.asarray(slen32),
+                goto_dev, node_info,
+                trie.root_p, trie.root_sharp, self._unk_id,
+                sharp_seq, n_pops)
         return self._finish_e2e(out, out_n, ovf, stuck, out_table)
 
     def _finish_e2e(self, out, out_n, ovf, stuck, out_table):

@@ -58,6 +58,15 @@ def test_sharded_uneven_rows(mesh8):
         assert sharded.tokenize(s) == single.tokenize(s)
 
 
+def test_sharded_encode_matches(mesh8, pan_tadeusz, pan_tadeusz_golden):
+    from subword_tokenizers_tpu import FastWP
+    tok = FastWP(mesh=mesh8)
+    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
+    sub = pan_tadeusz[:120]
+    assert tok.tokenize_batch(sub) == \
+        pan_tadeusz_golden["FastWordPiece"][:120]
+
+
 def test_mesh_sizes():
     for n in (1, 2, 4):
         if len(jax.devices()) < n:
