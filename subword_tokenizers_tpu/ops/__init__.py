@@ -1,7 +1,21 @@
 """Device ops. Importing this package enables JAX x64 mode — the
 conformance-critical kernels are built on exact i64 arithmetic
-(sort keys, cumulative sums, IEEE-double bit emulation)."""
+(sort keys, cumulative sums, IEEE-double bit emulation) — and a
+persistent compilation cache (remote TPU compiles here cost minutes;
+caching makes every process after the first start warm)."""
+import os
+
 import jax
 
 if not jax.config.jax_enable_x64:
     jax.config.update("jax_enable_x64", True)
+
+_cache_dir = os.environ.get(
+    "SWT_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..",
+                                  ".jax_cache"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass
