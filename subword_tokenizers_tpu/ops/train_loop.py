@@ -159,26 +159,117 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
     return carry, recs
 
 
+@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece"))
+def flat_train_steps(fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, pw1,
+                     pw2, sharp_h1, sharp_h2, max_vocab, K, narrow,
+                     sym_cap, wordpiece):
+    """K merge steps over the flat corpus layout (ops/flat.py) — same
+    semantics as :func:`train_steps` with ~3x less sort volume (no
+    intra-word padding)."""
+    from .flat import flat_aggregate, flat_apply
+
+    dt, bits, space, _, _ = _consts(narrow)
+
+    def step(carry, _):
+        fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, alive = carry
+
+        k_s, p_s, run_total, is_cand = flat_aggregate(fs, wid, wgt, narrow)
+
+        if wordpiece:
+            seg = jnp.where(fs >= 0, fs, sym_cap).astype(jnp.int32)
+            sym_freq = jax.ops.segment_sum(
+                jnp.where(fs >= 0, wgt, 0).astype(dt), seg,
+                num_segments=sym_cap + 1)
+            a_all = jnp.where(is_cand, (k_s >> bits) & (space - 1),
+                              0).astype(jnp.int32)
+            b_all = jnp.where(is_cand, k_s & (space - 1),
+                              0).astype(jnp.int32)
+            denom = (sym_freq[a_all].astype(jnp.int64)
+                     * sym_freq[b_all].astype(jnp.int64))
+            metric = div_double_bits(
+                jnp.maximum(run_total, 1).astype(jnp.int64),
+                jnp.maximum(denom, 1))
+            best_key, _, _ = _select(k_s, p_s, metric, is_cand)
+            count_at = jnp.max(jnp.where((k_s == best_key) & is_cand,
+                                         run_total,
+                                         jnp.asarray(-1, run_total.dtype)))
+        else:
+            best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
+
+        active = alive & (count_at > 0) & (vocab_size < max_vocab)
+        a = jnp.where(active, (best_key >> bits) & (space - 1),
+                      0).astype(jnp.int32)
+        b = jnp.where(active, best_key & (space - 1), 0).astype(jnp.int32)
+
+        la = slen[a]
+        lb = slen[b]
+        if wordpiece:
+            lbp = jnp.maximum(lb - 2, 0)
+            hb1 = (h1[b] - _mulmod(sharp_h1, pw1[lbp])) % MOD
+            hb2 = (h2[b] - _mulmod(sharp_h2, pw2[lbp])) % MOD
+        else:
+            lbp = lb
+            hb1 = h1[b]
+            hb2 = h2[b]
+        m1 = (_mulmod(h1[a], pw1[lbp]) + hb1) % MOD
+        m2 = (_mulmod(h2[a], pw2[lbp]) + hb2) % MOD
+        lm = la + lbp
+
+        ids = jnp.arange(sym_cap, dtype=jnp.int32)
+        live = ids < n_sym
+        hit = live & (h1 == m1) & (h2 == m2) & (slen == lm)
+        matched = jnp.any(hit)
+        matched_id = jnp.max(jnp.where(hit, ids, -1))
+        new_id = jnp.where(matched, matched_id, n_sym).astype(jnp.int32)
+
+        grow = active & ~matched
+        at = jnp.where(grow, n_sym, sym_cap - 1)
+        h1 = h1.at[at].set(jnp.where(grow, m1, h1[at]))
+        h2 = h2.at[at].set(jnp.where(grow, m2, h2[at]))
+        slen = slen.at[at].set(jnp.where(grow, lm, slen[at]))
+        n_sym = n_sym + grow.astype(jnp.int32)
+        vocab_size = vocab_size + grow.astype(jnp.int32)
+
+        nfs, nwid, nwgt = flat_apply(fs, wid, wgt,
+                                     jnp.where(active, a, -3),
+                                     jnp.where(active, b, -3), new_id)
+
+        rec = {"a": a, "b": b, "new_id": new_id, "matched": matched,
+               "active": active}
+        return ((nfs, nwid, nwgt, h1, h2, slen, n_sym, vocab_size,
+                 alive & active), rec)
+
+    carry0 = (fs, wid, wgt, h1, h2, slen, n_sym, vocab_size,
+              jnp.bool_(True))
+    carry, recs = jax.lax.scan(step, carry0, None, length=K)
+    return carry, recs
+
+
 class HashCollision(Exception):
     """Device hash unification disagreed with real string interning."""
 
 
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
-              on_merge, K: int = 64, checkpoint_cb=None, progress_cb=None):
+              on_merge, K: int = 64, checkpoint_cb=None, progress_cb=None,
+              flat: bool = True):
     """Host driver for the K-step device loop.
 
     ``table`` is the live SymbolTable (vocabulary == its string set for
     both algorithms); ``on_merge(sa, sb, merged)`` is called per merge in
     order. Every decoded record is verified against real interning —
     raises :class:`HashCollision` on any disagreement (caller falls back
-    to the exact per-step path). Returns the final device symbol tensor.
+    to the exact per-step path).
+
+    ``flat=True`` (default) converts the padded tensor to the flat layout
+    (ops/flat.py) — ~3x less sort volume per step. Returns the final
+    *padded host* symbol tensor either way (rebuilt from the flat state).
     """
     import numpy as np
 
     n, L = sym_dev.shape
     n0 = len(table)
     if n0 >= max_vocab:
-        return sym_dev
+        return np.asarray(sym_dev)
     sym_cap = max(max_vocab, n0) + 8
     if narrow and sym_cap >= (1 << 16):
         narrow = False
@@ -191,18 +282,34 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         sl[i] = len(s)
     pw1, pw2 = pow_tables(L + 4)
     sh1, sh2 = str_hashes("##")
-
-    carry = (sym_dev, jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(sl),
-             jnp.int32(n0), jnp.int32(n0), jnp.bool_(True))
     pw1_d = jnp.asarray(pw1)
     pw2_d = jnp.asarray(pw2)
 
+    if flat:
+        from .flat import build_flat
+        sym_host = np.asarray(sym_dev)
+        freq_host = np.asarray(freq_dev)
+        fs, wid, wgt = build_flat(sym_host, freq_host)
+        carry = (jnp.asarray(fs), jnp.asarray(wid), jnp.asarray(wgt),
+                 jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(sl),
+                 jnp.int32(n0), jnp.int32(n0), jnp.bool_(True))
+    else:
+        carry = (sym_dev, jnp.asarray(h1), jnp.asarray(h2),
+                 jnp.asarray(sl), jnp.int32(n0), jnp.int32(n0),
+                 jnp.bool_(True))
+
     done = False
     while not done:
-        state, recs = train_steps(
-            carry[0], freq_dev, carry[1], carry[2], carry[3], carry[4],
-            carry[5], pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
-            narrow, sym_cap, wordpiece)
+        if flat:
+            state, recs = flat_train_steps(
+                carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
+                carry[6], carry[7], pw1_d, pw2_d, sh1, sh2,
+                jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece)
+        else:
+            state, recs = train_steps(
+                carry[0], freq_dev, carry[1], carry[2], carry[3], carry[4],
+                carry[5], pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
+                narrow, sym_cap, wordpiece)
         recs_np = jax.device_get(recs)
         steps_done = 0
         for k in range(K):
@@ -227,4 +334,25 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
             checkpoint_cb()
         if len(table) >= max_vocab:
             done = True
-    return carry[0]
+
+    if flat:
+        fs_f, wid_f = jax.device_get((carry[0], carry[1]))
+        return _flat_to_padded(fs_f, wid_f, n)
+    return np.asarray(carry[0])
+
+
+def _flat_to_padded(fs: "np.ndarray", wid: "np.ndarray", n_words: int):
+    """Rebuild a padded [n_words, max_len] host tensor from flat state."""
+    import numpy as np
+    live = fs >= 0
+    fs = fs[live]
+    wid = wid[live]
+    counts = np.bincount(wid, minlength=n_words)
+    L = max(int(counts.max()) if counts.size else 1, 1)
+    out = np.full((n_words, L), -1, dtype=np.int32)
+    # flat order is word-major: position within word = running index
+    offs = np.zeros(n_words + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    pos = np.arange(fs.size, dtype=np.int64) - offs[wid]
+    out[wid, pos] = fs
+    return out
