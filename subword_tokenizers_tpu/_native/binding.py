@@ -17,18 +17,22 @@ from typing import Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "pretok.cpp")
+_SRCS = [os.path.join(_DIR, "pretok.cpp"),
+         os.path.join(_DIR, "chunker.cpp")]
 _BUILD_DIR = os.path.join(_DIR, "build")
 
 _lib: Optional[ctypes.CDLL] = None
 _packed_ws = None
 _packed_punct = None
+_packed_ws_py = None
 
 
 def _so_path() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    return os.path.join(_BUILD_DIR, f"pretok-{digest}.so")
+    digest = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            digest.update(f.read())
+    return os.path.join(_BUILD_DIR, f"native-{digest.hexdigest()[:16]}.so")
 
 
 def _build(so_path: str) -> None:
@@ -39,7 +43,7 @@ def _build(so_path: str) -> None:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", tmp],
+             *_SRCS, "-o", tmp],
             check=True, capture_output=True,
         )
         os.replace(tmp, so_path)
@@ -49,7 +53,7 @@ def _build(so_path: str) -> None:
 
 
 def _load() -> ctypes.CDLL:
-    global _lib, _packed_ws, _packed_punct
+    global _lib, _packed_ws, _packed_punct, _packed_ws_py
     if _lib is not None:
         return _lib
     so_path = _so_path()
@@ -66,9 +70,13 @@ def _load() -> ctypes.CDLL:
     lib.swt_split_corpus.restype = i64
     lib.swt_split_corpus.argtypes = [u32p, i64p, i64, u8p, u8p, i64p, i64p,
                                      i32p]
-    from ..frontend.charclass import PUNCT_HF, WS_HF
+    lib.swt_chunk_unique.restype = i64
+    lib.swt_chunk_unique.argtypes = [u32p, i64, u8p, i32p, i64p, i64p,
+                                     i32p, i64p]
+    from ..frontend.charclass import PUNCT_HF, WS_HF, WS_PY
     _packed_ws = np.ascontiguousarray(np.packbits(WS_HF))
     _packed_punct = np.ascontiguousarray(np.packbits(PUNCT_HF))
+    _packed_ws_py = np.ascontiguousarray(np.packbits(WS_PY))
     _lib = lib
     return lib
 
@@ -89,6 +97,32 @@ def split_bounds(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         _ptr(_packed_ws, ctypes.c_uint8), _ptr(_packed_punct, ctypes.c_uint8),
         _ptr(starts, ctypes.c_int64), _ptr(ends, ctypes.c_int64))
     return starts[:count], ends[:count]
+
+
+def chunk_unique(cps: np.ndarray):
+    """Whitespace-chunk split + content dedup in one native pass.
+
+    Returns (inverse i32[C], chunk_start i64[C], uniq_start i64[U],
+    uniq_len i32[U]) over the Python-isspace class.
+    """
+    lib = _load()
+    cps = np.ascontiguousarray(cps, dtype=np.uint32)
+    n = cps.shape[0]
+    cap = max(n // 2 + 2, 4)
+    inverse = np.empty(cap, dtype=np.int32)
+    chunk_start = np.empty(cap, dtype=np.int64)
+    uniq_start = np.empty(cap, dtype=np.int64)
+    uniq_len = np.empty(cap, dtype=np.int32)
+    n_chunks = np.zeros(1, dtype=np.int64)
+    n_uniq = lib.swt_chunk_unique(
+        _ptr(cps, ctypes.c_uint32), n,
+        _ptr(_packed_ws_py, ctypes.c_uint8),
+        _ptr(inverse, ctypes.c_int32), _ptr(chunk_start, ctypes.c_int64),
+        _ptr(uniq_start, ctypes.c_int64), _ptr(uniq_len, ctypes.c_int32),
+        _ptr(n_chunks, ctypes.c_int64))
+    c = int(n_chunks[0])
+    return (inverse[:c], chunk_start[:c], uniq_start[:n_uniq],
+            uniq_len[:n_uniq])
 
 
 def split_corpus(cps: np.ndarray, sent_cp_off: np.ndarray

@@ -621,6 +621,40 @@ class FastWP(NaiveWP):
         flat = codepoints(joined)
         if flat.size == 0:
             return [[] for _ in range(S)]
+        sent_start = np.zeros(S, dtype=np.int64)
+        lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
+                           count=S)
+        np.cumsum(lens[:-1] + 1, out=sent_start[1:])
+
+        native = None
+        try:
+            from .._native import binding
+            binding._load()
+            native = binding
+        except Exception:
+            native = None
+
+        if native is not None:
+            # One native pass: split + content dedup (exact, memcmp-
+            # verified); only unique chunks get padded and scanned.
+            inverse, chunk_start, uniq_start, uniq_len = \
+                native.chunk_unique(flat)
+            if chunk_start.size == 0:
+                return [[] for _ in range(S)]
+            sid = np.searchsorted(sent_start, chunk_start,
+                                  side="right") - 1
+            Lc = int(uniq_len.max()) + 2
+            flatp = np.concatenate([flat, np.full(Lc, 32, np.uint32)])
+            take = uniq_start[:, None] + np.arange(Lc,
+                                                   dtype=np.int64)[None, :]
+            umask = (np.arange(Lc, dtype=np.int32)[None, :]
+                     < uniq_len[:, None])
+            umat = np.where(umask, flatp[take], np.uint32(32))
+            uslen = uniq_len + 1  # + trailing space
+            n_uniq = uniq_len.size
+            return self._scan_and_stitch(umat, uslen, inverse, sid, S,
+                                         n_uniq)
+
         sp = WS_PY[flat]
         keep = ~sp
         prev_sp = np.empty_like(sp)
@@ -634,11 +668,6 @@ class FastWP(NaiveWP):
         ends = np.where(idx < sp_pos.size,
                         sp_pos[np.minimum(idx, max(sp_pos.size - 1, 0))],
                         flat.size)
-        # sentence id per chunk (sentences are ' '-joined)
-        sent_start = np.zeros(S, dtype=np.int64)
-        lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
-                           count=S)
-        np.cumsum(lens[:-1] + 1, out=sent_start[1:])
         sid = np.searchsorted(sent_start, starts, side="right") - 1
 
         # pad chunks (+1 trailing space, reference: wordpiece.py:248, and
@@ -670,10 +699,13 @@ class FastWP(NaiveWP):
                                          return_inverse=True)
         umat = cmat[uidx]
         uslen = clen[uidx] + 1  # + trailing space
+        return self._scan_and_stitch(umat, uslen, inverse, sid, S,
+                                     len(uidx))
 
+    def _scan_and_stitch(self, umat, uslen, inverse, sid, S, n_uniq):
         toks, out_n = self._run_e2e_packed(umat, uslen)
         counts = out_n.tolist()
-        tok_rows = [toks[i, :counts[i]].tolist() for i in range(len(uidx))]
+        tok_rows = [toks[i, :counts[i]].tolist() for i in range(n_uniq)]
 
         # Chunks are in sentence order; group by per-sentence ranges and
         # concatenate at C speed.
