@@ -118,7 +118,7 @@ class NaiveBPE(SubwordTokenizer):
 
         import jax.numpy as jnp
         from ..ops.merge import apply_merge
-        from ..ops.pairstats import SYM_BITS, bpe_select
+        from ..ops.pairstats import bpe_select
 
         table = SymbolTable()
         corpus_arrays = build_bpe_corpus(words, freq, table)
@@ -347,8 +347,6 @@ class NaiveBPE(SubwordTokenizer):
                     # Unseen char: fresh id, participates in no merge.
                     sid = table.intern(ch)
                 sym[i, j] = sid
-        # Re-fetch tables in case interning grew the table (ids only —
-        # merge arrays are unaffected by new symbols).
         merged = np.asarray(bpe_encode(jnp.asarray(sym), keys, rk, out,
                                        self._MONOTONE))
         results: List[List[str]] = []

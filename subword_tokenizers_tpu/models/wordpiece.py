@@ -120,7 +120,7 @@ class NaiveWP(SubwordTokenizer):
 
         import jax.numpy as jnp
         from ..ops.merge import apply_merge
-        from ..ops.pairstats import SYM_BITS, wp_select
+        from ..ops.pairstats import wp_select
 
         table = SymbolTable()
         corpus_arrays = build_wp_corpus(words, freq, table)

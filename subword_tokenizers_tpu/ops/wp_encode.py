@@ -3,7 +3,7 @@
 Both encoders are expressed as data-parallel state machines: every word
 (greedy matcher) or sentence (end-to-end matcher) advances one automaton
 step per ``while_loop`` iteration, so a whole corpus encodes in one jitted
-call. Trie transitions are binary searches into the sorted edge arrays
+call. Trie transitions are single gathers into the dense goto tables
 (models/trie.py); no Python objects or strings are touched on device.
 
 - :func:`wp_match_encode` — greedy longest-match (NaiveWP semantics,
