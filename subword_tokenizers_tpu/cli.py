@@ -134,7 +134,7 @@ def main(argv=None) -> None:
         for name, tok in tokenizer_instances.items():
             print(f"Training {name} with max_vocab={args.max_vocab} "
                   f"on {len(corpus)} examples...")
-            tok.train(corpus, args.max_vocab)
+            tok.train(corpus, args.max_vocab, progress=True)
             if args.save:
                 resource_path = os.path.join("resources", args.save, name)
                 tok.save_resources(resource_path)

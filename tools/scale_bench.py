@@ -10,7 +10,11 @@
 Run in background; each new shape costs minutes of XLA compile.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
