@@ -73,6 +73,8 @@ def _load() -> ctypes.CDLL:
     lib.swt_chunk_unique.restype = i64
     lib.swt_chunk_unique.argtypes = [u32p, i64, u8p, i32p, i64p, i64p,
                                      i32p, i64p]
+    lib.swt_unique_spans.restype = i64
+    lib.swt_unique_spans.argtypes = [u32p, i64p, i64p, i64, i32p, i64p]
     from ..frontend.charclass import PUNCT_HF, WS_HF, WS_PY
     _packed_ws = np.ascontiguousarray(np.packbits(WS_HF))
     _packed_punct = np.ascontiguousarray(np.packbits(PUNCT_HF))
@@ -123,6 +125,26 @@ def chunk_unique(cps: np.ndarray):
     c = int(n_chunks[0])
     return (inverse[:c], chunk_start[:c], uniq_start[:n_uniq],
             uniq_len[:n_uniq])
+
+
+def unique_spans(cps: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Content-dedup spans of ``cps`` in first-occurrence order.
+
+    Returns (inverse i32[n], uniq_idx i64[u]) — uniq_idx[u] is the index
+    of the first span with each distinct content.
+    """
+    lib = _load()
+    cps = np.ascontiguousarray(cps, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n = starts.shape[0]
+    inverse = np.empty(n, dtype=np.int32)
+    uniq_idx = np.empty(max(n, 1), dtype=np.int64)
+    n_uniq = lib.swt_unique_spans(
+        _ptr(cps, ctypes.c_uint32), _ptr(starts, ctypes.c_int64),
+        _ptr(ends, ctypes.c_int64), n,
+        _ptr(inverse, ctypes.c_int32), _ptr(uniq_idx, ctypes.c_int64))
+    return inverse, uniq_idx[:n_uniq]
 
 
 def split_corpus(cps: np.ndarray, sent_cp_off: np.ndarray

@@ -67,4 +67,44 @@ int64_t swt_chunk_unique(const uint32_t* cps, int64_t n,
   return n_uniq;
 }
 
+// Content-dedup of arbitrary spans (e.g. the front end's word bounds):
+// assigns each span a unique id in first-occurrence order. Outputs:
+// inverse[i] = unique index of span i; uniq_idx[u] = index of the first
+// span with that content. Returns the unique count.
+int64_t swt_unique_spans(const uint32_t* cps, const int64_t* starts,
+                         const int64_t* ends, int64_t n_spans,
+                         int32_t* inverse_out, int64_t* uniq_idx_out) {
+  std::unordered_map<uint64_t, int32_t> seen;
+  seen.reserve(1 << 14);
+  int32_t n_uniq = 0;
+  for (int64_t k = 0; k < n_spans; ++k) {
+    const int64_t s = starts[k];
+    const int64_t e = ends[k];
+    const int64_t len = e - s;
+    uint64_t h = 1469598103934665603ull ^ static_cast<uint64_t>(len);
+    for (int64_t j = s; j < e; ++j) h = (h ^ cps[j]) * 1099511628211ull;
+    int32_t uid;
+    for (;;) {
+      auto it = seen.find(h);
+      if (it == seen.end()) {
+        uid = n_uniq++;
+        seen.emplace(h, uid);
+        uniq_idx_out[uid] = k;
+        break;
+      }
+      const int32_t cand = it->second;
+      const int64_t cs = starts[uniq_idx_out[cand]];
+      const int64_t ce = ends[uniq_idx_out[cand]];
+      if (ce - cs == len &&
+          std::memcmp(cps + cs, cps + s, sizeof(uint32_t) * len) == 0) {
+        uid = cand;
+        break;
+      }
+      ++h;
+    }
+    inverse_out[k] = uid;
+  }
+  return n_uniq;
+}
+
 }  // extern "C"

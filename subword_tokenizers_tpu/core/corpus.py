@@ -31,12 +31,23 @@ def unique_words(wb: WordBatch) -> Tuple[List[str], np.ndarray, np.ndarray]:
     enumeration as ``Counter(new_words)`` insertion order in the reference
     (source/bpe.py:77).
     """
-    seen: Dict[bytes, int] = {}
-    words: List[str] = []
-    freqs: List[int] = []
-    inverse = np.empty(wb.n_words, dtype=np.int32)
     cps = wb.cps
     ws, we = wb.word_start, wb.word_end
+    try:
+        from .._native import binding
+        inverse, uniq_idx = binding.unique_spans(cps, ws, we)
+        words = [cps[ws[i]:we[i]].astype("<u4").tobytes()
+                 .decode("utf-32-le") for i in uniq_idx]
+        freqs = np.bincount(inverse,
+                            minlength=len(words)).astype(np.int64)
+        return words, freqs, inverse
+    except Exception:
+        pass
+
+    seen: Dict[bytes, int] = {}
+    words = []
+    freqs_l: List[int] = []
+    inverse = np.empty(wb.n_words, dtype=np.int32)
     for i in range(wb.n_words):
         key = cps[ws[i]:we[i]].tobytes()
         idx = seen.get(key)
@@ -44,11 +55,11 @@ def unique_words(wb: WordBatch) -> Tuple[List[str], np.ndarray, np.ndarray]:
             idx = len(words)
             seen[key] = idx
             words.append(key.decode("utf-32-le"))
-            freqs.append(1)
+            freqs_l.append(1)
         else:
-            freqs[idx] += 1
+            freqs_l[idx] += 1
         inverse[i] = idx
-    return words, np.asarray(freqs, dtype=np.int64), inverse
+    return words, np.asarray(freqs_l, dtype=np.int64), inverse
 
 
 @dataclass
