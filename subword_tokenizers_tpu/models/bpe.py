@@ -297,31 +297,24 @@ class NaiveBPE(SubwordTokenizer):
     # ------------------------------------------------- batched device path
 
     def _build_device_tables(self):
-        """Sorted merge tables for the device encoder; cached."""
+        """Rank hash table for the device encoder; cached device-resident."""
         if self._device_tables is not None:
             return self._device_tables
         import jax.numpy as jnp
+        from ..ops.bpe_encode import build_rank_hash
         from ..ops.pairstats import SYM_BITS
 
         table = SymbolTable()
         entries = []  # (key, rank, out_id)
-        ranks = self._rank_map()
-        for pair, rank in ranks.items():
+        for pair, rank in self._rank_map().items():
             a = table.intern(pair[0])
             b = table.intern(pair[1])
             out = table.intern(pair[0] + pair[1])
             entries.append(((a << SYM_BITS) | b, rank, out))
-        entries.sort()
-        if entries:
-            keys = np.asarray([e[0] for e in entries], dtype=np.int64)
-            rk = np.asarray([e[1] for e in entries], dtype=np.int32)
-            out = np.asarray([e[2] for e in entries], dtype=np.int32)
-        else:
-            keys = np.zeros(0, dtype=np.int64)
-            rk = np.zeros(0, dtype=np.int32)
-            out = np.zeros(0, dtype=np.int32)
-        self._device_tables = (table, jnp.asarray(keys), jnp.asarray(rk),
-                               jnp.asarray(out))
+        hkeys, hrank, hout, max_probe = build_rank_hash(entries)
+        self._device_tables = (table, jnp.asarray(hkeys),
+                               jnp.asarray(hrank), jnp.asarray(hout),
+                               max_probe)
         return self._device_tables
 
     def _rank_map(self) -> Dict[Tuple[str, str], int]:
@@ -336,7 +329,7 @@ class NaiveBPE(SubwordTokenizer):
 
         if self._has_duplicate_merges():
             return [self.encode_word(w) for w in words]
-        table, keys, rk, out = self._build_device_tables()
+        table, hkeys, hrank, hout, max_probe = self._build_device_tables()
         max_len = max((len(w) for w in words), default=1)
         W = len(words)
         sym = np.full((W, max(max_len, 2)), -1, dtype=np.int32)
@@ -347,8 +340,8 @@ class NaiveBPE(SubwordTokenizer):
                     # Unseen char: fresh id, participates in no merge.
                     sid = table.intern(ch)
                 sym[i, j] = sid
-        merged = np.asarray(bpe_encode(jnp.asarray(sym), keys, rk, out,
-                                       self._MONOTONE))
+        merged = np.asarray(bpe_encode(jnp.asarray(sym), hkeys, hrank,
+                                       hout, self._MONOTONE, max_probe))
         results: List[List[str]] = []
         for i, w in enumerate(words):
             ids = [int(s) for s in merged[i] if s >= 0]
