@@ -50,9 +50,12 @@ def build_rank_hash(entries) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
     hrank = np.zeros(H, dtype=np.int32)
     hout = np.zeros(H, dtype=np.int32)
     max_probe = 1
-    for key, rank, out in entries:
+    keys_arr = np.asarray([e[0] for e in entries], dtype=np.int64)
+    with np.errstate(over="ignore"):
         # Mirror the device hash exactly (signed wrap + arithmetic shift).
-        h = int((np.int64(key) * HASH_GOLD) >> HASH_SHIFT) & (H - 1)
+        bases = ((keys_arr * HASH_GOLD) >> HASH_SHIFT) & (H - 1)
+    for (key, rank, out), h0 in zip(entries, bases.tolist()):
+        h = h0
         probes = 1
         while hkeys[h] != -1:
             h = (h + 1) & (H - 1)
