@@ -1,0 +1,60 @@
+"""Unit tests for the fused device training loop internals."""
+import jax.numpy as jnp
+import numpy as np
+
+from subword_tokenizers_tpu.core.corpus import build_bpe_corpus
+from subword_tokenizers_tpu.core.symbols import SymbolTable
+from subword_tokenizers_tpu.ops.flat import build_flat, flat_apply
+from subword_tokenizers_tpu.ops.merge import apply_merge
+from subword_tokenizers_tpu.ops.train_loop import (pow_tables, run_fused,
+                                                   str_hashes)
+
+WORDS = ["aaa", "aab", "abab", "banana", "bandana", "ab", "cd", "a"]
+FREQ = np.array([3, 1, 2, 1, 1, 5, 2, 7], dtype=np.int64)
+
+
+def _table_and_arrays():
+    table = SymbolTable()
+    ca = build_bpe_corpus(WORDS, FREQ, table)
+    return table, ca
+
+
+def test_flat_apply_matches_padded_apply():
+    table, ca = _table_and_arrays()
+    a = table.get("a")
+    b = table.get("b")
+    new = len(table)
+    ref = np.asarray(apply_merge(jnp.asarray(ca.sym), a, b, new))
+    fs, wid, wgt = build_flat(ca.sym, ca.freq)
+    nfs, nwid, _ = [np.asarray(x) for x in
+                    flat_apply(jnp.asarray(fs), jnp.asarray(wid),
+                               jnp.asarray(wgt), a, b, new)]
+    # regroup flat result by word and compare against padded rows
+    for w in range(len(WORDS)):
+        row_flat = nfs[(nwid == w) & (nfs >= 0)].tolist()
+        row_ref = [s for s in ref[w].tolist() if s >= 0]
+        assert row_flat == row_ref, w
+
+
+def test_fused_flat_and_padded_agree():
+    results = {}
+    for flat in (True, False):
+        table, ca = _table_and_arrays()
+        merges = []
+        run_fused(jnp.asarray(ca.sym), jnp.asarray(ca.freq), table, 30,
+                  True, False,
+                  lambda sa, sb, m: merges.append((sa, sb)), K=8,
+                  flat=flat)
+        results[flat] = merges
+    assert results[True] == results[False]
+    assert len(results[True]) > 0
+
+
+def test_hashes_roundtrip():
+    p1, p2 = pow_tables(8)
+    h_ab = str_hashes("ab")
+    h_a = str_hashes("a")
+    h_b = str_hashes("b")
+    mod = (1 << 31) - 1
+    assert (h_a[0] * p1[1] + h_b[0]) % mod == h_ab[0]
+    assert (h_a[1] * p2[1] + h_b[1]) % mod == h_ab[1]
