@@ -3,7 +3,12 @@
 Run in background (compiles take minutes through the remote-compile
 tunnel). Results guide kernel design.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 import jax
