@@ -7,10 +7,12 @@ reference on its golden corpora, an exact BERT-style pre-tokenization front
 end (NumPy + C++), a benchmark suite, a CLI, and data-parallel multi-chip
 training via ``jax.sharding`` / ``shard_map``.
 
-Device code requires 64-bit integer support; importing any model enables
-JAX x64 mode (see ``runtime.ensure_device_config``).
+Device code requires 64-bit integer support: importing this package
+enables JAX x64 mode and the persistent compilation cache (both configured
+in ``ops/__init__.py``, imported below).
 """
 
+from . import ops  # noqa: F401  (configures jax x64 + compilation cache)
 from .models.bpe import FastBPE, NaiveBPE  # noqa: F401
 from .models.wordpiece import FastWP, NaiveWP  # noqa: F401
 from .models.base import SubwordTokenizer  # noqa: F401

@@ -68,6 +68,8 @@ class NaiveBPE(SubwordTokenizer):
         self.corpus_as_symbols: List[Tuple[List[str], int]] = []
         self._encode_cache: Dict[str, List[str]] = {}
         self._device_tables = None
+        self._host_ranks: Optional[Dict[Tuple[str, str], int]] = None
+        self._has_dups: Optional[bool] = None
         self._checkpoint_dir: Optional[str] = None
         self._checkpoint_every = 1000
         self._resume_dir: Optional[str] = None
@@ -176,13 +178,20 @@ class NaiveBPE(SubwordTokenizer):
                 self.vocab.add(merged)
                 self.merges_list.append((sa, sb))
 
+            since_ckpt = [0]
+
+            def ckpt_cb(steps):
+                since_ckpt[0] += steps
+                if since_ckpt[0] >= self._checkpoint_every:
+                    since_ckpt[0] = 0
+                    self.save_resources(self._checkpoint_dir)
+
             try:
                 sym = run_fused(
                     sym, freq_dev, table, max_vocab, narrow, False,
                     on_merge,
-                    checkpoint_cb=(
-                        (lambda: self.save_resources(self._checkpoint_dir))
-                        if self._checkpoint_dir is not None else None),
+                    checkpoint_cb=(ckpt_cb if self._checkpoint_dir
+                                   is not None else None),
                     progress_cb=pbar.update if pbar is not None else None)
                 fused_done = True
             except HashCollision:
@@ -238,13 +247,20 @@ class NaiveBPE(SubwordTokenizer):
     # ------------------------------------------------------------ encoding
 
     def _ranks_first(self) -> Dict[Tuple[str, str], int]:
-        ranks: Dict[Tuple[str, str], int] = {}
-        for i, p in enumerate(self.merges_list):
-            ranks.setdefault(p, i)
-        return ranks
+        """First-occurrence rank map, cached (invalidated alongside
+        _device_tables on reset/load/train)."""
+        if self._host_ranks is None:
+            ranks: Dict[Tuple[str, str], int] = {}
+            for i, p in enumerate(self.merges_list):
+                ranks.setdefault(p, i)
+            self._host_ranks = ranks
+        return self._host_ranks
 
     def _has_duplicate_merges(self) -> bool:
-        return len(set(self.merges_list)) != len(self.merges_list)
+        if self._has_dups is None:
+            self._has_dups = (len(set(self.merges_list))
+                              != len(self.merges_list))
+        return self._has_dups
 
     def _encode_symbols(self, word: str) -> List[str]:
         """Host encoder with NaiveBPE semantics (cursor-monotone greedy;
@@ -374,6 +390,8 @@ class NaiveBPE(SubwordTokenizer):
         self.corpus_as_symbols.clear()
         self._encode_cache = {}
         self._device_tables = None
+        self._host_ranks = None
+        self._has_dups = None
 
     def save_resources(self, path: str) -> None:
         """Write ``merges.json`` (reference format, source/bpe.py:167-177).
@@ -398,6 +416,8 @@ class NaiveBPE(SubwordTokenizer):
                 self.merges_list = [tuple(pair) for pair in json.load(f)]
             self._encode_cache = {}
             self._device_tables = None
+            self._host_ranks = None
+            self._has_dups = None
         elif strict:
             raise FileNotFoundError(merges_file)
 
@@ -453,7 +473,7 @@ class FastBPE(NaiveBPE):
             symbols[1:] = ["##" + s for s in symbols[1:]]
         return symbols
 
-    def load_resources(self, path: str) -> None:
-        super().load_resources(path)
+    def load_resources(self, path: str, strict: bool = False) -> None:
+        super().load_resources(path, strict=strict)
         self._bpe_ranks = {pair: i for i, pair in
                            enumerate(self.merges_list)}

@@ -176,13 +176,20 @@ class NaiveWP(SubwordTokenizer):
                 self.vocab.add(merged)
                 self._merge_log.append((sa, sb))
 
+            since_ckpt = [0]
+
+            def ckpt_cb(steps):
+                since_ckpt[0] += steps
+                if since_ckpt[0] >= self._checkpoint_every:
+                    since_ckpt[0] = 0
+                    self._save_checkpoint()
+
             try:
                 sym = run_fused(
                     sym, freq_dev, table, max_vocab, narrow, True,
                     on_merge,
-                    checkpoint_cb=(self._save_checkpoint
-                                   if self._checkpoint_dir is not None
-                                   else None),
+                    checkpoint_cb=(ckpt_cb if self._checkpoint_dir
+                                   is not None else None),
                     progress_cb=pbar.update if pbar is not None else None)
                 fused_done = True
             except HashCollision:
@@ -664,10 +671,14 @@ class FastWP(NaiveWP):
         if starts.size == 0:
             return [[] for _ in range(S)]
         sp_pos = np.flatnonzero(sp)
-        idx = np.searchsorted(sp_pos, starts)
-        ends = np.where(idx < sp_pos.size,
-                        sp_pos[np.minimum(idx, max(sp_pos.size - 1, 0))],
-                        flat.size)
+        if sp_pos.size:
+            idx = np.searchsorted(sp_pos, starts)
+            ends = np.where(idx < sp_pos.size,
+                            sp_pos[np.minimum(idx, sp_pos.size - 1)],
+                            flat.size)
+        else:
+            # single whitespace-free chunk
+            ends = np.full(starts.shape, flat.size, dtype=np.int64)
         sid = np.searchsorted(sent_start, starts, side="right") - 1
 
         # pad chunks (+1 trailing space, reference: wordpiece.py:248, and
@@ -744,8 +755,8 @@ class FastWP(NaiveWP):
         self._e2e_out = None
         self._packed_cache = None
 
-    def load_resources(self, path: str) -> None:
+    def load_resources(self, path: str, strict: bool = False) -> None:
         """Load vocab and rebuild the trie
         (reference: source/wordpiece.py:318-324)."""
-        super().load_resources(path)
+        super().load_resources(path, strict=strict)
         self._build_e2e()

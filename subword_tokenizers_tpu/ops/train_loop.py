@@ -63,18 +63,91 @@ def pow_tables(max_len: int):
     return p1, p2
 
 
+def _wp_score_select(k_s, p_s, run_total, is_cand, sym_freq, narrow):
+    """WordPiece selection: exact-double score, first-seen tie-break."""
+    _, bits, space, _, _ = _consts(narrow)
+    a_all = jnp.where(is_cand, (k_s >> bits) & (space - 1),
+                      0).astype(jnp.int32)
+    b_all = jnp.where(is_cand, k_s & (space - 1), 0).astype(jnp.int32)
+    denom = (sym_freq[a_all].astype(jnp.int64)
+             * sym_freq[b_all].astype(jnp.int64))
+    metric = div_double_bits(
+        jnp.maximum(run_total, 1).astype(jnp.int64),
+        jnp.maximum(denom, 1))
+    best_key, _, _ = _select(k_s, p_s, metric, is_cand)
+    count_at = jnp.max(jnp.where((k_s == best_key) & is_cand, run_total,
+                                 jnp.asarray(-1, run_total.dtype)))
+    return best_key, count_at
+
+
+def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
+                      n_sym, vocab_size, alive, pw1, pw2, sharp_h1,
+                      sharp_h2, max_vocab, narrow, sym_cap, wordpiece):
+    """Shared per-step core: winner selection + device string unification.
+
+    ``sym_freq`` is the per-symbol frequency table (WordPiece scoring) or
+    None (BPE). Returns (h1, h2, slen, n_sym, vocab_size, active, a, b,
+    new_id, matched) — the caller applies the merge to its own corpus
+    layout and records the step.
+    """
+    _, bits, space, _, _ = _consts(narrow)
+    if wordpiece:
+        best_key, count_at = _wp_score_select(k_s, p_s, run_total, is_cand,
+                                              sym_freq, narrow)
+    else:
+        best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
+
+    active = alive & (count_at > 0) & (vocab_size < max_vocab)
+    a = jnp.where(active, (best_key >> bits) & (space - 1),
+                  0).astype(jnp.int32)
+    b = jnp.where(active, best_key & (space - 1), 0).astype(jnp.int32)
+
+    # Merged symbol hash/length from parts (O(1) string algebra).
+    la = slen[a]
+    lb = slen[b]
+    if wordpiece:
+        lbp = jnp.maximum(lb - 2, 0)
+        hb1 = (h1[b] - _mulmod(sharp_h1, pw1[lbp])) % MOD
+        hb2 = (h2[b] - _mulmod(sharp_h2, pw2[lbp])) % MOD
+    else:
+        lbp = lb
+        hb1 = h1[b]
+        hb2 = h2[b]
+    m1 = (_mulmod(h1[a], pw1[lbp]) + hb1) % MOD
+    m2 = (_mulmod(h2[a], pw2[lbp]) + hb2) % MOD
+    lm = la + lbp
+
+    # Exact (h1, h2, len) membership over the live table.
+    ids = jnp.arange(sym_cap, dtype=jnp.int32)
+    live = ids < n_sym
+    hit = live & (h1 == m1) & (h2 == m2) & (slen == lm)
+    matched = jnp.any(hit)
+    matched_id = jnp.max(jnp.where(hit, ids, -1))
+    new_id = jnp.where(matched, matched_id, n_sym).astype(jnp.int32)
+
+    # Append on miss.
+    grow = active & ~matched
+    at = jnp.where(grow, n_sym, sym_cap - 1)
+    h1 = h1.at[at].set(jnp.where(grow, m1, h1[at]))
+    h2 = h2.at[at].set(jnp.where(grow, m2, h2[at]))
+    slen = slen.at[at].set(jnp.where(grow, lm, slen[at]))
+    n_sym = n_sym + grow.astype(jnp.int32)
+    vocab_size = vocab_size + grow.astype(jnp.int32)
+    return h1, h2, slen, n_sym, vocab_size, active, a, b, new_id, matched
+
+
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece"))
 def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
                 sharp_h1, sharp_h2, max_vocab, K, narrow, sym_cap,
                 wordpiece):
-    """Run up to K merge steps on device.
+    """Run up to K merge steps on device (padded [n, L] corpus layout).
 
     sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
     tables and lengths (entries >= n_sym are zero); pw1/pw2: i64[P] hash
     base powers (P > max mergeable symbol length); sharp_h1/2: hashes of
     the literal "##". Returns (new state..., records dict of [K] arrays).
     """
-    dt, bits, space, _, _ = _consts(narrow)
+    dt, _, _, _, _ = _consts(narrow)
 
     def step(carry, _):
         sym, h1, h2, slen, n_sym, vocab_size, alive = carry
@@ -85,6 +158,7 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
                              (n, L - 1)).reshape(-1)
         k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
+        sym_freq = None
         if wordpiece:
             flat = sym.reshape(-1)
             wsym = jnp.broadcast_to(freq.astype(dt)[:, None],
@@ -93,58 +167,12 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
             sym_freq = jax.ops.segment_sum(
                 jnp.where(flat >= 0, wsym, 0), seg,
                 num_segments=sym_cap + 1)
-            a_all = jnp.where(is_cand, (k_s >> bits) & (space - 1),
-                              0).astype(jnp.int32)
-            b_all = jnp.where(is_cand, k_s & (space - 1),
-                              0).astype(jnp.int32)
-            denom = (sym_freq[a_all].astype(jnp.int64)
-                     * sym_freq[b_all].astype(jnp.int64))
-            metric = div_double_bits(
-                jnp.maximum(run_total, 1).astype(jnp.int64),
-                jnp.maximum(denom, 1))
-            best_key, _, _ = _select(k_s, p_s, metric, is_cand)
-            count_at = jnp.max(jnp.where((k_s == best_key) & is_cand,
-                                         run_total,
-                                         jnp.asarray(-1, run_total.dtype)))
-        else:
-            best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
 
-        active = alive & (count_at > 0) & (vocab_size < max_vocab)
-        a = jnp.where(active, (best_key >> bits) & (space - 1),
-                      0).astype(jnp.int32)
-        b = jnp.where(active, best_key & (space - 1), 0).astype(jnp.int32)
-
-        # Merged symbol hash/length from parts (O(1) string algebra).
-        la = slen[a]
-        lb = slen[b]
-        if wordpiece:
-            lbp = jnp.maximum(lb - 2, 0)
-            hb1 = (h1[b] - _mulmod(sharp_h1, pw1[lbp])) % MOD
-            hb2 = (h2[b] - _mulmod(sharp_h2, pw2[lbp])) % MOD
-        else:
-            lbp = lb
-            hb1 = h1[b]
-            hb2 = h2[b]
-        m1 = (_mulmod(h1[a], pw1[lbp]) + hb1) % MOD
-        m2 = (_mulmod(h2[a], pw2[lbp]) + hb2) % MOD
-        lm = la + lbp
-
-        # Exact (h1, h2, len) membership over the live table.
-        ids = jnp.arange(sym_cap, dtype=jnp.int32)
-        live = ids < n_sym
-        hit = live & (h1 == m1) & (h2 == m2) & (slen == lm)
-        matched = jnp.any(hit)
-        matched_id = jnp.max(jnp.where(hit, ids, -1))
-        new_id = jnp.where(matched, matched_id, n_sym).astype(jnp.int32)
-
-        # Append on miss.
-        grow = active & ~matched
-        at = jnp.where(grow, n_sym, sym_cap - 1)
-        h1 = h1.at[at].set(jnp.where(grow, m1, h1[at]))
-        h2 = h2.at[at].set(jnp.where(grow, m2, h2[at]))
-        slen = slen.at[at].set(jnp.where(grow, lm, slen[at]))
-        n_sym = n_sym + grow.astype(jnp.int32)
-        vocab_size = vocab_size + (active & ~matched).astype(jnp.int32)
+        (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
+         matched) = _select_and_unify(
+            k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
+            vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
+            narrow, sym_cap, wordpiece)
 
         new_sym = apply_merge(sym, jnp.where(active, a, -3),
                               jnp.where(active, b, -3), new_id)
@@ -168,67 +196,25 @@ def flat_train_steps(fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, pw1,
     intra-word padding)."""
     from .flat import flat_aggregate, flat_apply
 
-    dt, bits, space, _, _ = _consts(narrow)
+    dt = _consts(narrow)[0]
 
     def step(carry, _):
         fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, alive = carry
 
         k_s, p_s, run_total, is_cand = flat_aggregate(fs, wid, wgt, narrow)
 
+        sym_freq = None
         if wordpiece:
             seg = jnp.where(fs >= 0, fs, sym_cap).astype(jnp.int32)
             sym_freq = jax.ops.segment_sum(
                 jnp.where(fs >= 0, wgt, 0).astype(dt), seg,
                 num_segments=sym_cap + 1)
-            a_all = jnp.where(is_cand, (k_s >> bits) & (space - 1),
-                              0).astype(jnp.int32)
-            b_all = jnp.where(is_cand, k_s & (space - 1),
-                              0).astype(jnp.int32)
-            denom = (sym_freq[a_all].astype(jnp.int64)
-                     * sym_freq[b_all].astype(jnp.int64))
-            metric = div_double_bits(
-                jnp.maximum(run_total, 1).astype(jnp.int64),
-                jnp.maximum(denom, 1))
-            best_key, _, _ = _select(k_s, p_s, metric, is_cand)
-            count_at = jnp.max(jnp.where((k_s == best_key) & is_cand,
-                                         run_total,
-                                         jnp.asarray(-1, run_total.dtype)))
-        else:
-            best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
 
-        active = alive & (count_at > 0) & (vocab_size < max_vocab)
-        a = jnp.where(active, (best_key >> bits) & (space - 1),
-                      0).astype(jnp.int32)
-        b = jnp.where(active, best_key & (space - 1), 0).astype(jnp.int32)
-
-        la = slen[a]
-        lb = slen[b]
-        if wordpiece:
-            lbp = jnp.maximum(lb - 2, 0)
-            hb1 = (h1[b] - _mulmod(sharp_h1, pw1[lbp])) % MOD
-            hb2 = (h2[b] - _mulmod(sharp_h2, pw2[lbp])) % MOD
-        else:
-            lbp = lb
-            hb1 = h1[b]
-            hb2 = h2[b]
-        m1 = (_mulmod(h1[a], pw1[lbp]) + hb1) % MOD
-        m2 = (_mulmod(h2[a], pw2[lbp]) + hb2) % MOD
-        lm = la + lbp
-
-        ids = jnp.arange(sym_cap, dtype=jnp.int32)
-        live = ids < n_sym
-        hit = live & (h1 == m1) & (h2 == m2) & (slen == lm)
-        matched = jnp.any(hit)
-        matched_id = jnp.max(jnp.where(hit, ids, -1))
-        new_id = jnp.where(matched, matched_id, n_sym).astype(jnp.int32)
-
-        grow = active & ~matched
-        at = jnp.where(grow, n_sym, sym_cap - 1)
-        h1 = h1.at[at].set(jnp.where(grow, m1, h1[at]))
-        h2 = h2.at[at].set(jnp.where(grow, m2, h2[at]))
-        slen = slen.at[at].set(jnp.where(grow, lm, slen[at]))
-        n_sym = n_sym + grow.astype(jnp.int32)
-        vocab_size = vocab_size + grow.astype(jnp.int32)
+        (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
+         matched) = _select_and_unify(
+            k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
+            vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
+            narrow, sym_cap, wordpiece)
 
         nfs, nwid, nwgt = flat_apply(fs, wid, wgt,
                                      jnp.where(active, a, -3),
@@ -256,9 +242,10 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
 
     ``table`` is the live SymbolTable (vocabulary == its string set for
     both algorithms); ``on_merge(sa, sb, merged)`` is called per merge in
-    order. Every decoded record is verified against real interning —
-    raises :class:`HashCollision` on any disagreement (caller falls back
-    to the exact per-step path).
+    order; ``checkpoint_cb(steps_done)`` after each block (the caller
+    enforces its cadence). Every decoded record is verified against real
+    interning — raises :class:`HashCollision` on any disagreement (caller
+    falls back to the exact per-step path).
 
     ``flat=True`` (default) converts the padded tensor to the flat layout
     (ops/flat.py) — ~3x less sort volume per step. Returns the final
@@ -331,7 +318,7 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         if progress_cb is not None and steps_done:
             progress_cb(steps_done)
         if checkpoint_cb is not None and steps_done:
-            checkpoint_cb()
+            checkpoint_cb(steps_done)
         if len(table) >= max_vocab:
             done = True
 
