@@ -52,6 +52,40 @@ def test_monotone_keys():
     assert np.array_equal(order_vals, np.arange(len(vals)))
 
 
+def test_exact_midpoints_round_half_even():
+    """c/d landing exactly between two doubles must round to even."""
+    cases = []
+    # d = 2^j, c = (2m+1) * 2^t: quotient mantissa has exactly 54
+    # significant bits ending in 1 -> a rounding midpoint.
+    for m_bits in (52,):
+        for j in (10, 20, 40):
+            m = (1 << 53) + 1  # 54-bit odd
+            # c/d = m / 2^j -> exponent chosen so mantissa needs 54 bits
+            c = m
+            d = 1 << j
+            if c < (1 << 33) * 2:  # domain check (c < 2^33 not met: scale)
+                pass
+            cases.append((m >> 21, d))  # keep c in domain, still odd-ish
+    c = np.array([x for x, _ in cases] + [3, 5, (1 << 33) - 1],
+                 dtype=np.int64)
+    d = np.array([x for _, x in cases] + [1 << 52, 1 << 52, 1 << 34],
+                 dtype=np.int64)
+    bits = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                               jnp.asarray(d)))
+    assert np.array_equal(bits, _ref_bits(c, d))
+
+
+def test_random_power_of_two_denominators():
+    """Powers of two make the remainder-sticky logic degenerate; the
+    rounding decision comes purely from the guard bit."""
+    rng = np.random.default_rng(9)
+    c = rng.integers(1, 1 << 33, size=50000)
+    d = np.int64(1) << rng.integers(0, 53, size=50000)
+    bits = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                               jnp.asarray(d)))
+    assert np.array_equal(bits, _ref_bits(c, d))
+
+
 def test_bitlen():
     x = np.array([1, 2, 3, 4, 255, 256, (1 << 52) + 1, (1 << 62)],
                  dtype=np.int64)
