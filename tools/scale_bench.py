@@ -43,7 +43,13 @@ def main():
     out = tok.tokenize_batch(corpus)
     dt = time.time() - t0
     ntok = sum(len(t) for t in out)
-    print(f"FastBPE batch-tokenize 85k corpus: {dt:.1f}s "
+    print(f"FastBPE batch-tokenize 85k corpus (cold): {dt:.1f}s "
+          f"({nbytes/dt/1e6:.2f} MB/s, {ntok/dt/1e6:.2f} Mtok/s)",
+          flush=True)
+    t0 = time.time()
+    out = tok.tokenize_batch(corpus)
+    dt = time.time() - t0
+    print(f"FastBPE batch-tokenize (warm): {dt:.1f}s "
           f"({nbytes/dt/1e6:.2f} MB/s, {ntok/dt/1e6:.2f} Mtok/s)",
           flush=True)
 
