@@ -32,6 +32,13 @@ def _so_path() -> str:
     for src in _SRCS:
         with open(src, "rb") as f:
             digest.update(f.read())
+    # -march=native bakes host ISA extensions into the .so; key the cache
+    # on the platform too, so a build dir copied between heterogeneous
+    # hosts recompiles instead of loading unsupported instructions.
+    import platform
+    digest.update(platform.machine().encode())
+    digest.update(platform.processor().encode())
+    digest.update(b"-O3 -march=native")
     return os.path.join(_BUILD_DIR, f"native-{digest.hexdigest()[:16]}.so")
 
 

@@ -34,7 +34,14 @@ def _tokenization_report(tokenizer: Any, name: str, test_corpus: List[str],
         tokenized_inputs = [tokenizer.tokenize(s) for s in test_corpus]
     unique_words = {w for sent in tokenizer.preprocessing(test_corpus)
                     for w, _ in sent}
-    tokenized_words = {w: tokenizer.tokenize(w) for w in unique_words}
+    # Word-level metrics need every unique word tokenized standalone
+    # (reference: source/benchmarks.py:343-346); batch the whole set
+    # through the device encoder instead of one host call per word.
+    uw = list(unique_words)
+    if hasattr(tokenizer, "tokenize_batch"):
+        tokenized_words = dict(zip(uw, tokenizer.tokenize_batch(uw)))
+    else:
+        tokenized_words = {w: tokenizer.tokenize(w) for w in uw}
     total_tokens = sum(len(t) for t in tokenized_inputs)
 
     print(f"=== Tokenization Metrics for {name} ===")

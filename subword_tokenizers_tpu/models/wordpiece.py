@@ -446,9 +446,16 @@ class FastWP(NaiveWP):
         def boundary(i: int) -> bool:
             if i > 0 and is_pc[i - 1]:
                 return True
-            if i < n and (is_sp[i] or is_pc[i]):
-                return True
-            return False
+            if i >= n:
+                # Reachable only when a whitespace-bearing vocab token lets
+                # the matchloop consume the trailing space: the reference's
+                # iswdbndry then evaluates seq[len(seq)] and crashes
+                # (source/wordpiece.py:285 — `i > len(seq)` is False at
+                # i == len(seq), short-circuit falls through to seq[i]).
+                raise RuntimeError(
+                    "word-boundary check at end of input (the reference "
+                    "implementation would crash with IndexError here)")
+            return bool(is_sp[i] or is_pc[i])
 
         result: List[str] = []
         i = 0
@@ -536,6 +543,10 @@ class FastWP(NaiveWP):
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
         pchar = pack_chars(trie.alpha[cps], WS_PY[cps], PUNC_PY[cps])
         slen32 = slen.astype(np.int32)
+        # wp_e2e_scan contract: slen < T for every row (the boundary check
+        # at i == slen reads the packed char there).
+        assert cps.shape[1] > int(slen32.max(initial=0)), \
+            "wp_e2e_scan rows must be padded past slen"
         if self.mesh is not None:
             # Row-parallel encode across the data mesh; model state
             # (goto/node tables) is replicated.
@@ -543,7 +554,7 @@ class FastWP(NaiveWP):
                                            sharded_e2e_scan)
             pchar_p, slen_p, n_real = pad_rows(self.mesh, pchar, slen32)
             pchar_d, slen_d = put_sharded(self.mesh, pchar_p, slen_p)
-            out, out_n, ovf, stuck = sharded_e2e_scan(
+            out, out_n, ovf, stuck, crash = sharded_e2e_scan(
                 self.mesh, pchar_d, slen_d, goto_dev, node_info,
                 trie.root_p, trie.root_sharp, self._unk_id,
                 sharp_seq, n_pops)
@@ -551,19 +562,27 @@ class FastWP(NaiveWP):
             out_n = out_n[:n_real]
             ovf = ovf[:n_real]
             stuck = stuck[:n_real]
+            crash = crash[:n_real]
         else:
-            out, out_n, ovf, stuck = wp_e2e_scan(
+            out, out_n, ovf, stuck, crash = wp_e2e_scan(
                 jnp.asarray(pchar), jnp.asarray(slen32),
                 goto_dev, node_info,
                 trie.root_p, trie.root_sharp, self._unk_id,
                 sharp_seq, n_pops)
-        return self._finish_e2e(out, out_n, ovf, stuck, out_table)
+        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table)
 
-    def _finish_e2e(self, out, out_n, ovf, stuck, out_table):
+    def _finish_e2e(self, out, out_n, ovf, stuck, crash, out_table):
         import jax
         # One batched device->host fetch — each separate np.asarray is a
         # full round trip on remote-dispatch backends.
-        out, out_n, ovf, stuck = jax.device_get((out, out_n, ovf, stuck))
+        out, out_n, ovf, stuck, crash = jax.device_get(
+            (out, out_n, ovf, stuck, crash))
+        if bool(crash.any()):
+            idx = np.flatnonzero(crash)[:5].tolist()
+            raise RuntimeError(
+                "word-boundary check at end of input on row(s) "
+                f"{idx} (the reference implementation would crash with "
+                "IndexError here)")
         if bool(stuck.any()):
             idx = np.flatnonzero(stuck)[:5].tolist()
             raise RuntimeError(
@@ -593,21 +612,22 @@ class FastWP(NaiveWP):
         is_pc = PUNC_PY[cps]
         acp = trie.alpha[cps]
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
-        out, out_n, ovf, stuck = wp_e2e_encode(
+        out, out_n, ovf, stuck, crash = wp_e2e_encode(
             jnp.asarray(acp), jnp.asarray(is_sp), jnp.asarray(is_pc),
             jnp.asarray(slen), jnp.asarray(trie.goto),
             jnp.asarray(trie.fail), jnp.asarray(trie.pops_off),
             jnp.asarray(trie.pops_flat),
             trie.root_p, trie.root_sharp, self._unk_id,
             sharp_seq, max(trie.max_pops, 1))
-        return self._finish_e2e(out, out_n, ovf, stuck, out_table)
+        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table)
 
     def _tokenize_batch_chunked(self, corpus: List[str]) -> List[List[str]]:
         if len(corpus) == 0:
             return []
         # Sentence-level dedup: repeated sentences (common in batch
-        # workloads) tokenize once; duplicate slots alias the same result
-        # list — treat outputs as read-only.
+        # workloads) tokenize once; duplicate slots get independent list
+        # copies (the reference returns a fresh list per sentence, and
+        # callers may mutate rows).
         seen: Dict[str, int] = {}
         order: List[str] = []
         backmap = np.empty(len(corpus), dtype=np.int64)
@@ -620,7 +640,12 @@ class FastWP(NaiveWP):
             backmap[i] = j
         if len(order) < len(corpus):
             uniq = self._tokenize_batch_chunked(order)
-            return [uniq[j] for j in backmap]
+            used = np.zeros(len(order), dtype=bool)
+            out: List[List[str]] = []
+            for j in backmap:
+                out.append(list(uniq[j]) if used[j] else uniq[j])
+                used[j] = True
+            return out
 
         S = len(corpus)
         lowered = [s.lower() for s in corpus]

@@ -126,38 +126,105 @@ def bpe_select(sym: jax.Array, freq: jax.Array, narrow: bool = False):
     return _select(k_s, p_s, run_total, is_cand)
 
 
-@partial(jax.jit, static_argnames=("sym_cap", "narrow"))
+def compact_cands(k_s, p_s, run_total, is_cand, cap: int, narrow: bool):
+    """Gather the (≤ ``cap``) run-start candidates into static-size arrays.
+
+    Distinct pairs are typically ~100x fewer than positions, so compacting
+    before the expensive exact-double scoring removes its dominant cost
+    (the emulated-i64 long division runs per *candidate*, not per
+    position). Returns (ck, cp, cc, cmask, ovf): keys, first-seen
+    positions, counts, validity mask, and a scalar bool set when more than
+    ``cap`` candidates exist — the compacted view is then incomplete and
+    callers MUST fall back to the full-width arrays.
+    """
+    _, _, _, sentinel, vmax = _consts(narrow)
+    n = k_s.shape[0]
+    idx = jnp.nonzero(is_cand, size=cap, fill_value=n)[0]
+    valid = idx < n
+    safe = jnp.minimum(idx, n - 1)
+    ck = jnp.where(valid, k_s[safe], sentinel)
+    cp = jnp.where(valid, p_s[safe], vmax)
+    cc = jnp.where(valid, run_total[safe], 0)
+    ovf = jnp.sum(is_cand) > cap
+    return ck, cp, cc, valid, ovf
+
+
+def symbol_freqs(sym_flat, w_flat, sym_cap: int):
+    """Per-symbol total weights (reference: source/wordpiece.py:78-81).
+
+    ``sym_flat``: flat symbol ids (PAD < 0); ``w_flat``: per-slot weight.
+    """
+    seg = jnp.where(sym_flat >= 0, sym_flat, sym_cap).astype(jnp.int32)
+    return jax.ops.segment_sum(
+        jnp.where(sym_flat >= 0, w_flat, 0), seg, num_segments=sym_cap + 1)
+
+
+def wp_score_bits(ck, cc, cmask, sym_freq, narrow: bool):
+    """Exact IEEE-double bit patterns of ``count / (freq_a * freq_b)``
+    per candidate (reference score: source/wordpiece.py:84-87). Stays in
+    i64 regardless of ``narrow`` — the double domain needs 53 bits."""
+    _, bits, space, _, _ = _consts(narrow)
+    a = jnp.where(cmask, (ck >> bits) & (space - 1), 0).astype(jnp.int32)
+    b = jnp.where(cmask, ck & (space - 1), 0).astype(jnp.int32)
+    denom = sym_freq[a].astype(jnp.int64) * sym_freq[b].astype(jnp.int64)
+    c = jnp.maximum(cc, 1).astype(jnp.int64)
+    return div_double_bits(c, jnp.maximum(denom, 1))
+
+
+def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
+                   cand_cap=None):
+    """Shared WordPiece winner selection over aggregated runs.
+
+    The single body behind wp_select, the fused train loop, and the
+    sharded path (they must never diverge — this is conformance-critical).
+    With ``cand_cap`` set, scoring runs over compacted candidates and
+    falls back to the full-width arrays inside ``lax.cond`` only when the
+    cap overflows (both results are exact; the cap is purely a cost trade).
+    Returns (best_key, best_bits, best_fs, best_count).
+    """
+    def full(_):
+        bits = wp_score_bits(k_s, run_total, is_cand, sym_freq, narrow)
+        bk, bb, bf = _select(k_s, p_s, bits, is_cand)
+        cnt = jnp.max(jnp.where((k_s == bk) & is_cand, run_total,
+                                jnp.asarray(-1, dtype=run_total.dtype)))
+        return bk, bb, bf, cnt
+
+    if cand_cap is None or cand_cap >= k_s.shape[0]:
+        return full(None)
+
+    ck, cp, cc, cmask, ovf = compact_cands(k_s, p_s, run_total, is_cand,
+                                           cand_cap, narrow)
+
+    def compacted(_):
+        bits = wp_score_bits(ck, cc, cmask, sym_freq, narrow)
+        bk, bb, bf = _select(ck, cp, bits, cmask)
+        cnt = jnp.max(jnp.where((ck == bk) & cmask, cc,
+                                jnp.asarray(-1, dtype=cc.dtype)))
+        return bk, bb, bf, cnt
+
+    return jax.lax.cond(ovf, full, compacted, None)
+
+
+@partial(jax.jit, static_argnames=("sym_cap", "narrow", "cand_cap"))
 def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
-              narrow: bool = False):
+              narrow: bool = False, cand_cap=None):
     """One WordPiece selection: max score ``pair/(fa*fb)``, first-seen
     tie-break, with score compared as the exact Python double.
 
-    ``sym_cap`` is a static bound on the number of distinct symbol ids.
-    Returns (best_key, best_score_bits, best_first_seen, best_count).
-    The exact-double scoring stays in i64 (its domain needs 53 bits); only
-    the dominant sort narrows on the fast path.
+    ``sym_cap`` is a static bound on the number of distinct symbol ids;
+    ``cand_cap`` (static) bounds the candidate compaction (None = score
+    every position). Returns (best_key, best_score_bits, best_first_seen,
+    best_count).
     """
-    dt, bits, space, _, _ = _consts(narrow)
+    dt, _, _, _, _ = _consts(narrow)
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
     w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
     k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
-    # Per-symbol frequencies (reference: source/wordpiece.py:78-81).
     flat = sym.reshape(-1)
     wsym = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L)).reshape(-1)
-    seg = jnp.where(flat >= 0, flat, sym_cap).astype(jnp.int32)
-    sym_freq = jax.ops.segment_sum(
-        jnp.where(flat >= 0, wsym, 0), seg, num_segments=sym_cap + 1)
+    sym_freq = symbol_freqs(flat, wsym, sym_cap)
 
-    a = (k_s >> bits) & (space - 1)
-    b = k_s & (space - 1)
-    a = jnp.where(is_cand, a, 0).astype(jnp.int32)
-    b = jnp.where(is_cand, b, 0).astype(jnp.int32)
-    denom = sym_freq[a].astype(jnp.int64) * sym_freq[b].astype(jnp.int64)
-    c = jnp.maximum(run_total, 1).astype(jnp.int64)
-    score_bits = div_double_bits(c, jnp.maximum(denom, 1))
-    best_key, best_bits, best_fs = _select(k_s, p_s, score_bits, is_cand)
-    count_at = jnp.max(jnp.where((k_s == best_key) & is_cand, run_total,
-                                 jnp.asarray(-1, dtype=run_total.dtype)))
-    return best_key, best_bits, best_fs, count_at
+    return wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow,
+                          cand_cap)

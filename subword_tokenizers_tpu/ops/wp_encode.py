@@ -58,7 +58,10 @@ def wp_match_encode(words, wlen, goto_table, accept, hash_aid):
     # Greedy longest-match is O(len^2) worst case: every restart re-walks
     # the lookahead consumed past the accepted prefix (as does the
     # reference's shrinking-prefix loop, source/wordpiece.py:144-147).
-    MAXITER = (L + 2) * (L + 6) + 32
+    # The effective sequence can carry up to MAX_INJECT pending '#'
+    # characters per restart ('#'-prefixed vocab tokens), so the cap must
+    # budget for them — only genuinely diverging inputs may hit it.
+    MAXITER = (L + MAX_INJECT + 2) * (L + MAX_INJECT + 6) + 32
 
     def cond(st):
         return jnp.any(st["mode"] == 0) & (st["it"] < MAXITER)
@@ -148,25 +151,31 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
     corner case; ``unk_id``: id of the literal "['UNK']".
 
     Returns (out i32[S, CAP], out_n i32[S], overflow bool[S],
-    stuck bool[S]) — ``stuck`` marks sentences still unfinished at the
-    iteration cap, which for legitimate inputs cannot happen (the cap is
-    ~6x the amortized step bound); it indicates the no-progress pathology
-    on which the reference implementation loops forever.
+    stuck bool[S], crash bool[S]) — ``stuck`` marks sentences still
+    unfinished at the iteration cap, which for legitimate inputs cannot
+    happen (the cap is ~6x the amortized step bound); it indicates the
+    no-progress pathology on which the reference implementation loops
+    forever. ``crash`` marks a validation at i == slen with a non-punct
+    previous char — there the reference's iswdbndry reads seq[len(seq)]
+    and dies with IndexError (source/wordpiece.py:285); reachable only
+    with whitespace-bearing vocab tokens.
     """
     S, T = acp.shape
     CAP = 2 * T + 4
     MAXITER = 6 * T + 64
     MATCH, VALIDATE, SKIP1, SKIP2, DONE = (jnp.int32(i) for i in range(5))
 
+    def prev_punc(i, rows):
+        return (i > 0) & is_punc[rows, jnp.clip(i - 1, 0, T - 1)]
+
     def bndry(i, slen_row, rows):
-        """iswdbndry (reference: source/wordpiece.py:272-285) for i <= slen;
-        the i == slen out-of-range read cannot occur for space-free vocabs
-        (see models/wordpiece.py) and is treated as no-boundary."""
-        prev_p = (i > 0) & is_punc[rows, jnp.clip(i - 1, 0, T - 1)]
+        """iswdbndry (reference: source/wordpiece.py:272-285) for i < slen;
+        at i == slen only the prev-punct disjunct is defined (the reference
+        crashes otherwise — callers flag that case via ``crash``)."""
         in_rng = i < slen_row
         ic = jnp.clip(i, 0, T - 1)
         cur = in_rng & (is_space[rows, ic] | is_punc[rows, ic])
-        return prev_p | cur
+        return prev_punc(i, rows) | cur
 
     def cond(st):
         return jnp.any(st["mode"] != DONE) & (st["it"] < MAXITER)
@@ -210,6 +219,7 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
         at_root = (node == 0) | (node == root_sharp) | (node == root_p)
         valid = bnd & at_root
         inval = v_act & ~valid
+        crash = st["crash"] | (v_act & (i >= slen) & ~prev_punc(i, rows))
         # Invalid segment: roll back and emit the literal "['UNK']".
         n_ptr = jnp.where(inval, seg_ptr, n_ptr)
         wptr = jnp.where(inval & (n_ptr < CAP), n_ptr, CAP)
@@ -248,7 +258,7 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
 
         return {"i": n_i, "node": n_node, "mode": n_mode, "ptr": n_ptr,
                 "seg_ptr": n_seg_ptr, "out": new_out, "ovf": ovf,
-                "it": st["it"] + 1}
+                "crash": crash, "it": st["it"] + 1}
 
     zeros = jnp.zeros((S,), jnp.int32)
     init = {
@@ -257,8 +267,9 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
         "ptr": zeros, "seg_ptr": zeros,
         "out": jnp.zeros((S, CAP + 1), jnp.int32),
         "ovf": jnp.zeros((S,), bool),
+        "crash": jnp.zeros((S,), bool),
         "it": jnp.int32(0),
     }
     st = jax.lax.while_loop(cond, body, init)
     stuck = st["mode"] != DONE
-    return st["out"][:, :CAP], st["ptr"], st["ovf"], stuck
+    return st["out"][:, :CAP], st["ptr"], st["ovf"], stuck, st["crash"]

@@ -67,9 +67,14 @@ def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
     """Scan padded rows of packed chars; see module docstring.
 
     pchar: i32[S, T] packed char words (positions >= slen are spaces);
-    slen: i32[S] lengths including the appended trailing space;
-    node_info: i32[n_nodes, 2+n_pops]; sharp_seq: static id tuple.
-    Returns (out i32[S, CAP], out_n i32[S], overflow bool[S], stuck bool[S]).
+    slen: i32[S] lengths including the appended trailing space — callers
+    MUST pad so slen < T for every row (the boundary check at i == slen
+    reads pchar[:, i], whose PREV_PC bit must describe position slen-1;
+    the chunked caller pads +2). Returns (out i32[S, CAP], out_n i32[S],
+    overflow bool[S], stuck bool[S], crash bool[S]); ``crash`` marks rows
+    where the reference's iswdbndry would read past the end and raise
+    IndexError (source/wordpiece.py:285) — only reachable with
+    whitespace-bearing vocab tokens.
     """
     S, T = pchar.shape
     CAP = T + 4
@@ -116,6 +121,8 @@ def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
         at_root = (node == 0) | (node == root_sharp) | (node == root_p)
         inval = v_act & (~bnd | ~at_root)
         corner = v_act & ~inval & (node == root_sharp) & (ptr == seg_ptr)
+        prev_pc = (i > 0) & ((cw & PREV_PC_BIT) != 0)
+        crash = st["crash"] | (v_act & (i >= slen) & ~prev_pc)
 
         # ---- emissions (mutually exclusive cases) -> ONE scatter ----
         ptr_eff = jnp.where(inval, seg_ptr, ptr)   # rollback before UNK
@@ -165,7 +172,7 @@ def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
 
         return {"i": n_i, "node": n_node, "mode": n_mode, "ptr": n_ptr,
                 "seg_ptr": n_seg, "out": out, "ovf": ovf,
-                "it": st["it"] + 1}
+                "crash": crash, "it": st["it"] + 1}
 
     zeros = jnp.zeros((S,), jnp.int32)
     init = {
@@ -174,9 +181,10 @@ def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
         "ptr": zeros, "seg_ptr": zeros,
         "out": jnp.zeros((S * OUTW,), jnp.int32),
         "ovf": jnp.zeros((S,), bool),
+        "crash": jnp.zeros((S,), bool),
         "it": jnp.int32(0),
     }
     st = jax.lax.while_loop(cond, body, init)
     stuck = st["mode"] != DONE
     out2d = st["out"].reshape(S, OUTW)[:, :CAP]
-    return out2d, st["ptr"], st["ovf"], stuck
+    return out2d, st["ptr"], st["ovf"], stuck, st["crash"]

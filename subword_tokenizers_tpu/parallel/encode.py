@@ -25,12 +25,13 @@ from .mesh import DATA_AXIS
                           "sharp_seq", "n_pops"))
 def sharded_e2e_scan(mesh, pchar, slen, goto_table, node_info, root_p,
                      root_sharp, unk_id, sharp_seq, n_pops):
-    """Row-sharded wp_e2e_scan; returns the same (out, out_n, ovf, stuck)."""
+    """Row-sharded wp_e2e_scan; returns the same
+    (out, out_n, ovf, stuck, crash)."""
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
              out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                        P(DATA_AXIS)),
+                        P(DATA_AXIS), P(DATA_AXIS)),
              check_vma=False)
     def run(pchar_l, slen_l, goto_l, info_l):
         return wp_e2e_scan(pchar_l, slen_l, goto_l, info_l, root_p,

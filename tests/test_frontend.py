@@ -61,3 +61,22 @@ def test_empty_and_whitespace():
     assert P.pre_tokenize_str(" \t\n ") == []
     wb = P.pretokenize_batch(["", "  ", "a"])
     assert wb.n_words == 1 and wb.word(0) == "a"
+
+
+@needs_hf
+def test_foreign_frontend_injection(pan_tadeusz, pan_tadeusz_golden):
+    """--normalize_with path: an HF-style tokenizer object injected into
+    the models must route preprocessing through its pre_tokenizer
+    (models/base.py:31-35; reference cli.py:163) with identical output on
+    both the host and the batched device paths."""
+    from ref_oracle import HFShim
+
+    from subword_tokenizers_tpu import FastBPE, NaiveWP
+
+    sub = pan_tadeusz[:60]
+    for cls, key in ((FastBPE, "FastBPE"), (NaiveWP, "NaiveWordPiece")):
+        tok = cls(HFShim())
+        tok.load_resources(f"/root/reference/resources/pretrained/{key}")
+        golden = pan_tadeusz_golden[key][:60]
+        assert [tok.tokenize(s) for s in sub] == golden
+        assert tok.tokenize_batch(sub) == golden
