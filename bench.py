@@ -1,109 +1,213 @@
 #!/usr/bin/env python3
-"""Headline benchmark: FastWP end-to-end encode throughput (MB/s).
+"""Driver benchmark: encode + training throughput vs the reference.
 
-Measures the batched device path (front end + unique-chunk dedup +
-trie-scan automaton) over the conformance corpus, replicated with unique
-markers (so sentence caching cannot fire) to amortize dispatch, after a
-warmup run that triggers compilation. Verifies bit-exactness against the
-golden token streams before timing — a wrong tokenizer is not a fast
-tokenizer.
+Emits one JSON line per metric, each conformance-gated before timing (a
+wrong tokenizer is not a fast tokenizer); the headline FastWP encode line
+prints LAST:
 
-The default TPU backend's remote XLA compiles occasionally take tens of
-minutes; the driver wrapper (`main`) runs the measurement in a subprocess
-with a watchdog and falls back to the CPU jax backend (still measured
-against the same 1-CPU-core reference baseline) rather than hang.
+  {"metric": "<name>", "value": N, "unit": "MB/s", "vs_baseline": N}
 
-Prints ONE JSON line:
-  {"metric": "fastwp_encode_MBps", "value": N, "unit": "MB/s",
-   "vs_baseline": N}
+Metrics and 1-CPU-core reference baselines (BASELINE.md):
+  fastbpe_encode_MBps     vs 0.569   (pan_tadeusz x16, pretrained 20k)
+  naivebpe_encode_MBps    vs 0.001
+  naivewp_encode_MBps     vs 1.249
+  fastwp_encode_85k_MBps  vs 1.463   (7.4 MB corpus — device-bound regime)
+  naivebpe_train_MBps     vs 0.004016 (train-5K @ vocab 1000, 120.65 s)
+  naivewp_train_MBps      vs 0.002707 (train-5K @ vocab 1000, 179.01 s)
+  fastwp_encode_MBps      vs 1.463   (headline)
 
-Baseline: reference FastWP on 1 CPU core = 1.463 MB/s (BASELINE.md).
+The default TPU backend's remote XLA compiles can take minutes per
+program; the child process appends each finished metric to a results file
+so a watchdog timeout keeps completed TPU numbers, and a CPU-backend
+child fills in whatever is missing.
 """
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
-BASELINE_MBPS = 1.463
+BASELINES = {
+    "fastwp_encode_MBps": 1.463,
+    "fastwp_encode_85k_MBps": 1.463,
+    "fastbpe_encode_MBps": 0.569,
+    "naivebpe_encode_MBps": 0.001,
+    "naivewp_encode_MBps": 1.249,
+    "naivebpe_train_MBps": 484493 / 120.65 / 1e6,
+    "naivewp_train_MBps": 484493 / 179.01 / 1e6,
+}
+# Emission order; the headline must be the last line on stdout.
+ORDER = ["fastbpe_encode_MBps", "naivebpe_encode_MBps",
+         "naivewp_encode_MBps", "naivebpe_train_MBps",
+         "naivewp_train_MBps", "fastwp_encode_85k_MBps",
+         "fastwp_encode_MBps"]
 REPLICAS = 16
-TPU_TIMEOUT_S = 1800
-CPU_TIMEOUT_S = 600
+TPU_TIMEOUT_S = 3000
+CPU_TIMEOUT_S = 1500
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure():
+def _emit(results_path, name, mbps):
+    rec = {"metric": name, "value": round(mbps, 3 if mbps >= 0.01 else 6),
+           "unit": "MB/s",
+           "vs_baseline": round(mbps / BASELINES[name], 2)}
+    with open(results_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    log(f"[bench] {rec}")
+
+
+def _time_best(fn, trials):
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _bench_encode(results_path, name, tok_cls, res_name, corpus, golden,
+                  trials=3):
+    from subword_tokenizers_tpu import TOKENIZERS  # noqa: F401
+    tok = tok_cls()
+    tok.load_resources(
+        f"/root/reference/resources/pretrained/{res_name}")
+    out = tok.tokenize_batch(corpus)  # warmup + conformance
+    exact = sum(1 for a, b in zip(out, golden) if a == b)
+    assert exact == len(corpus), \
+        f"{name}: conformance {exact}/{len(corpus)} — refusing to bench"
+    big = [f"w{k} {s}" for k in range(REPLICAS) for s in corpus]
+    nbytes = sum(len(s.encode("utf-8")) for s in big)
+    tok.tokenize_batch(big)  # warmup at benchmark shape
+    best = _time_best(lambda: tok.tokenize_batch(big), trials)
+    _emit(results_path, name, nbytes / best / 1e6)
+
+
+def _bench_train(results_path, name, tok_cls, corpus, nbytes, check,
+                 warm):
+    tok = tok_cls()
+    if warm:
+        tok.train(corpus, 1000)  # compile warmup (same shapes)
+        check(tok)
+    t0 = time.perf_counter()
+    tok.train(corpus, 1000)
+    dt = time.perf_counter() - t0
+    check(tok)
+    _emit(results_path, name, nbytes / dt / 1e6)
+
+
+def measure(results_path):
     import jax
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
 
-    from subword_tokenizers_tpu import FastWP
+    from subword_tokenizers_tpu import FastBPE, FastWP, NaiveBPE, NaiveWP
 
     with open("/root/reference/data/pan_tadeusz.json") as f:
         corpus = json.load(f)
     with open("/root/reference/data/pan_tadeusz.tokens.json") as f:
-        golden = json.load(f)["FastWordPiece"]
+        golden = json.load(f)
 
-    tok = FastWP()
-    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
-
+    on_cpu = jax.default_backend() == "cpu"
     log(f"devices: {jax.devices()}")
 
-    # Conformance gate + compile warmup.
-    t0 = time.perf_counter()
-    out = tok.tokenize_batch(corpus)
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
-    exact = sum(1 for a, b in zip(out, golden) if a == b)
-    log(f"conformance: {exact}/{len(corpus)} sentences exact")
-    assert exact == len(corpus), "conformance failure — refusing to bench"
+    # Headline first so a watchdog timeout still captures it.
+    _bench_encode(results_path, "fastwp_encode_MBps", FastWP,
+                  "FastWordPiece", corpus, golden["FastWordPiece"])
 
-    # Replicate with a per-replica marker word so every sentence is
-    # unique — sentence-level caching must not fire; word-level Zipf
-    # repetition (which dedup legitimately exploits) is preserved.
-    big = [f"w{k} {s}" for k in range(REPLICAS) for s in corpus]
-    nbytes = sum(len(s.encode("utf-8")) for s in big)
-    tok.tokenize_batch(big)  # second warmup at the benchmark shape
+    # Training (train-5K @ vocab 1000, golden-fixture-gated).  On the TPU
+    # backend a warmup run absorbs compilation (the reference pays no
+    # compiles); on CPU compilation is a negligible fraction and one run
+    # suffices within the watchdog budget.
+    with open("/root/reference/data/train-5K.json") as f:
+        train5k = json.load(f)
+    t5k_bytes = os.path.getsize("/root/reference/data/train-5K.json")
+    with open(os.path.join(ROOT, "tests/golden/"
+                           "train5k_v1000_merges.json")) as f:
+        gold_merges = [tuple(p) for p in json.load(f)]
+    with open(os.path.join(ROOT, "tests/golden/"
+                           "train5k_v1000_wp_vocab.json")) as f:
+        gold_vocab = set(json.load(f))
 
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        tok.tokenize_batch(big)
-        dt = time.perf_counter() - t0
-        log(f"trial {trial}: {dt:.3f}s  ({nbytes / dt / 1e6:.2f} MB/s)")
-        best = min(best, dt)
+    def check_bpe(tok):
+        assert tok.merges_list == gold_merges, \
+            "naivebpe_train: merges diverge from golden — refusing"
 
-    mbps = nbytes / best / 1e6
-    print(json.dumps({
-        "metric": "fastwp_encode_MBps",
-        "value": round(mbps, 3),
-        "unit": "MB/s",
-        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
-    }))
+    def check_wp(tok):
+        assert tok.vocab == gold_vocab, \
+            "naivewp_train: vocab diverges from golden — refusing"
+
+    _bench_train(results_path, "naivebpe_train_MBps", NaiveBPE, train5k,
+                 t5k_bytes, check_bpe, warm=not on_cpu)
+    _bench_train(results_path, "naivewp_train_MBps", NaiveWP, train5k,
+                 t5k_bytes, check_wp, warm=not on_cpu)
+
+    # Remaining encoders on the conformance corpus.
+    _bench_encode(results_path, "fastbpe_encode_MBps", FastBPE,
+                  "FastBPE", corpus, golden["FastBPE"])
+    _bench_encode(results_path, "naivewp_encode_MBps", NaiveWP,
+                  "NaiveWordPiece", corpus, golden["NaiveWordPiece"])
+    _bench_encode(results_path, "naivebpe_encode_MBps", NaiveBPE,
+                  "NaiveBPE", corpus, golden["NaiveBPE"])
+
+    # Large-corpus FastWP encode: 7.4 MB — the device-bound regime.
+    # Conformance: batch output spot-checked against the host scan.
+    big_path = os.path.join(ROOT, "data/train-85k.json")
+    if os.path.isfile(big_path):
+        with open(big_path) as f:
+            big = json.load(f)
+        tok = FastWP()
+        tok.load_resources(
+            "/root/reference/resources/pretrained/FastWordPiece")
+        out = tok.tokenize_batch(big[:2000])  # warmup shape subset
+        import random
+        idx = random.Random(0).sample(range(2000), 50)
+        for i in idx:
+            assert out[i] == tok.tokenize(big[i]), \
+                "fastwp_85k: batch/host divergence — refusing to bench"
+        nbytes = sum(len(s.encode("utf-8")) for s in big)
+        tok.tokenize_batch(big)  # full-shape warmup
+        best = _time_best(lambda: tok.tokenize_batch(big), 2)
+        _emit(results_path, "fastwp_encode_85k_MBps", nbytes / best / 1e6)
 
 
-def _run_child(backend: str, timeout_s: int):
+def _read_results(path):
+    out = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    out[rec["metric"]] = rec
+    return out
+
+
+def _run_child(backend: str, timeout_s: int, results_path: str):
     env = dict(os.environ)
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--measure"],
+            [sys.executable, os.path.abspath(__file__), "--measure",
+             results_path],
             env=env, timeout=timeout_s, capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        log(f"[bench] {backend} measurement timed out after {timeout_s}s")
-        return None
-    sys.stderr.write(proc.stderr)
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            return line
-    log(f"[bench] {backend} measurement failed "
-        f"(exit {proc.returncode})")
-    return None
+            cwd=ROOT)
+        sys.stderr.write(proc.stderr[-4000:])
+        if proc.returncode != 0:
+            log(f"[bench] {backend} child exited {proc.returncode}")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            err = e.stderr if isinstance(e.stderr, str) else \
+                e.stderr.decode(errors="replace")
+            sys.stderr.write(err[-4000:])
+        log(f"[bench] {backend} measurement timed out after {timeout_s}s "
+            f"(keeping completed metrics)")
+    return _read_results(results_path)
 
 
 def main():
@@ -111,15 +215,25 @@ def main():
         if os.environ.get("JAX_PLATFORMS") == "cpu":
             import jax
             jax.config.update("jax_platforms", "cpu")
-        measure()
+        measure(sys.argv[sys.argv.index("--measure") + 1])
         return
-    line = _run_child("default", TPU_TIMEOUT_S)
-    if line is None:
-        log("[bench] falling back to the CPU jax backend")
-        line = _run_child("cpu", CPU_TIMEOUT_S)
-    if line is None:
+    with tempfile.TemporaryDirectory() as td:
+        tpu_res = _run_child("default", TPU_TIMEOUT_S,
+                             os.path.join(td, "tpu.jsonl"))
+        results = dict(tpu_res)
+        missing = [m for m in ORDER if m not in results]
+        if missing:
+            log(f"[bench] falling back to CPU jax for {missing}")
+            cpu_res = _run_child("cpu", CPU_TIMEOUT_S,
+                                 os.path.join(td, "cpu.jsonl"))
+            for m in missing:
+                if m in cpu_res:
+                    results[m] = cpu_res[m]
+    if "fastwp_encode_MBps" not in results:
         raise SystemExit("benchmark failed on every backend")
-    print(line)
+    for m in ORDER:
+        if m in results:
+            print(json.dumps(results[m]))
 
 
 if __name__ == "__main__":

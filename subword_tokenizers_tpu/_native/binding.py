@@ -18,13 +18,15 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "pretok.cpp"),
-         os.path.join(_DIR, "chunker.cpp")]
+         os.path.join(_DIR, "chunker.cpp"),
+         os.path.join(_DIR, "stitch.cpp")]
 _BUILD_DIR = os.path.join(_DIR, "build")
 
 _lib: Optional[ctypes.CDLL] = None
 _packed_ws = None
 _packed_punct = None
 _packed_ws_py = None
+_stitch_fn = None
 
 
 def _so_path() -> str:
@@ -43,6 +45,7 @@ def _so_path() -> str:
 
 
 def _build(so_path: str) -> None:
+    import sysconfig
     os.makedirs(_BUILD_DIR, exist_ok=True)
     # Build into a temp file then rename, so concurrent builders are safe.
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_BUILD_DIR)
@@ -50,6 +53,7 @@ def _build(so_path: str) -> None:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             f"-I{sysconfig.get_paths()['include']}",
              *_SRCS, "-o", tmp],
             check=True, capture_output=True,
         )
@@ -82,6 +86,11 @@ def _load() -> ctypes.CDLL:
                                      i32p, i64p]
     lib.swt_unique_spans.restype = i64
     lib.swt_unique_spans.argtypes = [u32p, i64p, i64p, i64, i32p, i64p]
+    # swt_stitch builds Python objects: PYFUNCTYPE keeps the GIL held.
+    global _stitch_fn
+    _stitch_fn = ctypes.PYFUNCTYPE(
+        ctypes.py_object, ctypes.py_object, i32p, i32p, i64, i64, i32p,
+        i64p, i64)(("swt_stitch", lib))
     from ..frontend.charclass import PUNCT_HF, WS_HF, WS_PY
     _packed_ws = np.ascontiguousarray(np.packbits(WS_HF))
     _packed_punct = np.ascontiguousarray(np.packbits(PUNCT_HF))
@@ -152,6 +161,26 @@ def unique_spans(cps: np.ndarray, starts: np.ndarray, ends: np.ndarray):
         _ptr(ends, ctypes.c_int64), n,
         _ptr(inverse, ctypes.c_int32), _ptr(uniq_idx, ctypes.c_int64))
     return inverse, uniq_idx[:n_uniq]
+
+
+def stitch(strings: list, out_ids: np.ndarray, out_n: np.ndarray,
+           inverse: np.ndarray, bounds: np.ndarray) -> list:
+    """Token-id matrix -> list-of-list-of-str in one native pass.
+
+    ``strings``: id -> token string; ``out_ids`` i32[U, W] with
+    ``out_n`` i32[U] valid counts; ``inverse`` i32[C] chunk -> unique row;
+    ``bounds`` i64[S+1] chunk ranges per sentence.
+    """
+    _load()
+    out_ids = np.ascontiguousarray(out_ids, dtype=np.int32)
+    out_n = np.ascontiguousarray(out_n, dtype=np.int32)
+    inverse = np.ascontiguousarray(inverse, dtype=np.int32)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    U, W = out_ids.shape
+    return _stitch_fn(strings, _ptr(out_ids, ctypes.c_int32),
+                      _ptr(out_n, ctypes.c_int32), U, W,
+                      _ptr(inverse, ctypes.c_int32),
+                      _ptr(bounds, ctypes.c_int64), bounds.shape[0] - 1)
 
 
 def split_corpus(cps: np.ndarray, sent_cp_off: np.ndarray

@@ -1,0 +1,71 @@
+// Native stitch for the batched encode path: token-id matrix -> Python
+// list-of-list-of-str output, in one C pass.
+//
+// The Python/NumPy stitch (object fancy-indexing + per-row tolist + per-
+// sentence chain) measures as the single largest cost of the whole encode
+// path (~45% of wall time on the bench corpus); all it does is build
+// PyList/PyUnicode structures, which this does directly.
+//
+// GIL: the ctypes binding uses PYFUNCTYPE, which does NOT release the GIL
+// — required, since this manipulates Python objects throughout.
+
+#include <Python.h>
+
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// strs: Python list of str, id -> token string (interned once per model).
+// out[U, W] token ids per unique chunk row; out_n[U] valid counts.
+// inverse[C]: chunk occurrence -> unique row.  bounds[S+1]: chunk ranges
+// per sentence.  Returns: list of S lists of str (new reference), or
+// NULL with an exception set.
+PyObject* swt_stitch(PyObject* strs, const int32_t* out,
+                     const int32_t* out_n, int64_t U, int64_t W,
+                     const int32_t* inverse, const int64_t* bounds,
+                     int64_t S) {
+  if (!PyList_Check(strs)) {
+    PyErr_SetString(PyExc_TypeError, "strs must be a list");
+    return nullptr;
+  }
+  const Py_ssize_t n_strs = PyList_GET_SIZE(strs);
+
+  PyObject* result = PyList_New(S);
+  if (result == nullptr) return nullptr;
+
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t total = 0;
+    for (int64_t c = bounds[s]; c < bounds[s + 1]; ++c) {
+      total += out_n[inverse[c]];
+    }
+    PyObject* row = PyList_New(total);
+    if (row == nullptr) {
+      Py_DECREF(result);
+      return nullptr;
+    }
+    int64_t k = 0;
+    for (int64_t c = bounds[s]; c < bounds[s + 1]; ++c) {
+      const int64_t u = inverse[c];
+      const int32_t* ids = out + u * W;
+      const int32_t n = out_n[u];
+      for (int32_t j = 0; j < n; ++j) {
+        const int32_t id = ids[j];
+        if (id < 0 || id >= n_strs) {
+          Py_DECREF(row);
+          Py_DECREF(result);
+          PyErr_Format(PyExc_ValueError,
+                       "token id %d out of range [0, %zd)", id, n_strs);
+          return nullptr;
+        }
+        PyObject* tok = PyList_GET_ITEM(strs, id);  // borrowed
+        Py_INCREF(tok);
+        PyList_SET_ITEM(row, k++, tok);             // steals
+      }
+    }
+    PyList_SET_ITEM(result, s, row);                // steals
+  }
+  return result;
+}
+
+}  // extern "C"

@@ -125,19 +125,46 @@ class NaiveBPE(SubwordTokenizer):
         table = SymbolTable()
         corpus_arrays = build_bpe_corpus(words, freq, table)
         # i32 fast path: every id this run can mint stays < 2^16 and all
-        # positions/weights fit i32 (see ops/pairstats.py).
-        n_pos = corpus_arrays.sym.shape[0] * max(
+        # positions/weights fit i32 (see ops/pairstats.py). Under a mesh
+        # the row count includes the shard-divisibility padding.
+        n_dev = self.mesh.devices.size if self.mesh is not None else 0
+        n_pos = (corpus_arrays.sym.shape[0] + n_dev) * max(
             corpus_arrays.sym.shape[1] - 1, 1)
         narrow = (max_vocab + len(table) + 8 < (1 << 16)
                   and total_tokens < 2**31 and n_pos < 2**31)
         bits = 16 if narrow else 21
         if self.mesh is not None:
-            from ..parallel.train import (shard_corpus, sharded_apply_merge,
-                                          sharded_bpe_select)
-            narrow, bits = False, 21
+            from ..parallel.train import (run_gather_cap, shard_corpus,
+                                          sharded_apply_merge,
+                                          sharded_bpe_select,
+                                          sharded_bpe_select_compact,
+                                          sharded_bpe_select_topk)
             sym, freq_dev = shard_corpus(self.mesh, corpus_arrays.sym,
                                          corpus_arrays.freq)
-            select = lambda s, f: sharded_bpe_select(self.mesh, s, f)
+            run_cap = run_gather_cap(n_pos // max(n_dev, 1))
+            self._sel_stats = {"proven": 0, "compact": 0, "full": 0}
+            self._topk_fallbacks = 0  # steps not settled by the certificate
+
+            def select(s, f):
+                # Tiered reduction (parallel/train.py): two-phase top-K
+                # (O(K*D) comm) when the Σ-threshold certificate proves
+                # the winner; exact compacted-runs gather (O(distinct*D))
+                # otherwise; full position gather only if a shard's
+                # distinct-run cap overflows.
+                bk, bc, bf, proven = sharded_bpe_select_topk(
+                    self.mesh, s, f, narrow)
+                if bool(proven):
+                    self._sel_stats["proven"] += 1
+                    return bk, bc, bf
+                self._topk_fallbacks += 1
+                bk, bc, bf, exact = sharded_bpe_select_compact(
+                    self.mesh, s, f, narrow, run_cap)
+                if bool(exact):
+                    self._sel_stats["compact"] += 1
+                    return bk, bc, bf
+                self._sel_stats["full"] += 1
+                return sharded_bpe_select(self.mesh, s, f, narrow)
+
             apply_ = lambda s, a, b, n: sharded_apply_merge(self.mesh, s,
                                                             a, b, n)
         else:
@@ -238,7 +265,8 @@ class NaiveBPE(SubwordTokenizer):
 
         # Keep a host-side view of the final corpus state for parity with
         # the reference's `corpus_as_symbols` (source/bpe.py:23).
-        sym_host = np.asarray(sym)
+        from ..parallel.distributed import fetch_global
+        sym_host = fetch_global(sym)[:len(corpus_arrays.freq)]
         self.corpus_as_symbols = [
             ([table.string(int(s)) for s in row if s >= 0], int(f))
             for row, f in zip(sym_host, corpus_arrays.freq)

@@ -126,24 +126,53 @@ class NaiveWP(SubwordTokenizer):
         corpus_arrays = build_wp_corpus(words, freq, table)
         self.vocab |= set(table.strings())
         sym_cap = len(table) + max(max_vocab - len(self.vocab), 0) + 8
-        n_pos = corpus_arrays.sym.shape[0] * max(
+        n_dev = self.mesh.devices.size if self.mesh is not None else 0
+        n_pos = (corpus_arrays.sym.shape[0] + n_dev) * max(
             corpus_arrays.sym.shape[1] - 1, 1)
         narrow = sym_cap + 8 < (1 << 16) and n_pos < 2**31
         bits = 16 if narrow else 21
+        from ..ops.train_loop import _cand_cap
 
         if self.mesh is not None:
-            from ..parallel.train import (shard_corpus, sharded_apply_merge,
-                                          sharded_wp_select)
-            narrow, bits = False, 21
+            from ..parallel.train import (run_gather_cap, shard_corpus,
+                                          sharded_apply_merge,
+                                          sharded_wp_select,
+                                          sharded_wp_select_compact,
+                                          sharded_wp_select_topk)
             sym, freq_dev = shard_corpus(self.mesh, corpus_arrays.sym,
                                          corpus_arrays.freq)
-            select = lambda s, f: sharded_wp_select(self.mesh, s, f, sym_cap)
+            cap_local = _cand_cap(max(n_pos // max(n_dev, 1), 1))
+            run_cap = run_gather_cap(n_pos // max(n_dev, 1))
+            cap_global = _cand_cap(n_pos)
+            self._sel_stats = {"proven": 0, "compact": 0, "full": 0}
+            self._topk_fallbacks = 0  # steps not settled by the certificate
+
+            def select(s, f):
+                # Tiered reduction (parallel/train.py): certificate-proven
+                # two-phase top-K, then exact compacted-runs gather, then
+                # full position gather (cap overflow only).
+                bk, bb, bf, bc, proven = sharded_wp_select_topk(
+                    self.mesh, s, f, sym_cap, narrow, cand_cap=cap_local)
+                if bool(proven):
+                    self._sel_stats["proven"] += 1
+                    return bk, bb, bf, bc
+                self._topk_fallbacks += 1
+                bk, bb, bf, bc, exact = sharded_wp_select_compact(
+                    self.mesh, s, f, sym_cap, narrow, run_cap)
+                if bool(exact):
+                    self._sel_stats["compact"] += 1
+                    return bk, bb, bf, bc
+                self._sel_stats["full"] += 1
+                return sharded_wp_select(self.mesh, s, f, sym_cap, narrow,
+                                         cand_cap=cap_global)
+
             apply_merge_fn = lambda s, a, b, n: sharded_apply_merge(
                 self.mesh, s, a, b, n)
         else:
             sym = jnp.asarray(corpus_arrays.sym)
             freq_dev = jnp.asarray(corpus_arrays.freq)
-            select = lambda s, f: wp_select(s, f, sym_cap, narrow)
+            cap = _cand_cap(n_pos)
+            select = lambda s, f: wp_select(s, f, sym_cap, narrow, cap)
             apply_merge_fn = apply_merge
 
         if self._resume_dir is not None:
@@ -232,7 +261,8 @@ class NaiveWP(SubwordTokenizer):
         if self._checkpoint_dir is not None:
             self._save_checkpoint()
 
-        sym_host = np.asarray(sym)
+        from ..parallel.distributed import fetch_global
+        sym_host = fetch_global(sym)
         self.corpus_as_symbols = [
             ([table.string(int(s)) for s in row if s >= 0], int(f))
             for row, f in zip(sym_host, corpus_arrays.freq)
@@ -520,9 +550,11 @@ class FastWP(NaiveWP):
             return self._tokenize_batch_sentences(corpus)
         return self._tokenize_batch_chunked(corpus)
 
-    def _run_e2e_packed(self, cps, slen):
+    def _run_e2e_packed(self, cps, slen, raw: bool = False):
         """TPU-optimized scan (ops/wp_encode_e2e.py): packed char/node
-        tables, one scatter per step. Used by the chunked path."""
+        tables, one scatter per step. Used by the chunked path.
+        ``raw=True`` skips host string materialization and returns
+        (out_ids, out_n, out_table) for the native stitch."""
         import jax.numpy as jnp
         from ..ops.wp_encode_e2e import (pack_chars, pack_node_info,
                                          wp_e2e_scan)
@@ -530,7 +562,7 @@ class FastWP(NaiveWP):
         trie, out_table = self._trie()
         n_pops = max(trie.max_pops, 1)
         if n_pops > 8:
-            return self._run_e2e(cps, slen)
+            return self._run_e2e(cps, slen, raw)
         if getattr(self, "_packed_cache", None) is None or \
                 self._packed_cache[0] is not trie:
             # Upload the model state once per trie — the goto table is
@@ -569,9 +601,11 @@ class FastWP(NaiveWP):
                 goto_dev, node_info,
                 trie.root_p, trie.root_sharp, self._unk_id,
                 sharp_seq, n_pops)
-        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table)
+        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table,
+                                raw)
 
-    def _finish_e2e(self, out, out_n, ovf, stuck, crash, out_table):
+    def _finish_e2e(self, out, out_n, ovf, stuck, crash, out_table,
+                    raw: bool = False):
         import jax
         # One batched device->host fetch — each separate np.asarray is a
         # full round trip on remote-dispatch backends.
@@ -592,18 +626,21 @@ class FastWP(NaiveWP):
                 "these inputs")
         if bool(ovf.any()):
             raise RuntimeError("wp_e2e_encode output buffer overflow")
-        width = max(int(out_n.max()), 1) if out_n.size else 1
-        out = out[:, :width]
         if self._sharp_seq is None and bool((out == -2).any()):
             raise RuntimeError(
                 "encode_word('##') does not terminate with this vocabulary "
                 "(reference would hang on this input)")
+        if raw:
+            return out, out_n, out_table
+        width = max(int(out_n.max()), 1) if out_n.size else 1
+        out = out[:, :width]
         strs = np.asarray(out_table.strings(), dtype=object)
         return strs[out], out_n
 
-    def _run_e2e(self, cps, slen):
+    def _run_e2e(self, cps, slen, raw: bool = False):
         """Run the device automaton on padded codepoint rows; returns
-        (token-id object-array rows, counts)."""
+        (token-string object-array rows, counts), or with ``raw=True``
+        (out_ids, out_n, out_table)."""
         import jax.numpy as jnp
         from ..ops.wp_encode import wp_e2e_encode
 
@@ -619,7 +656,8 @@ class FastWP(NaiveWP):
             jnp.asarray(trie.pops_flat),
             trie.root_p, trie.root_sharp, self._unk_id,
             sharp_seq, max(trie.max_pops, 1))
-        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table)
+        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table,
+                                raw)
 
     def _tokenize_batch_chunked(self, corpus: List[str]) -> List[List[str]]:
         if len(corpus) == 0:
@@ -739,6 +777,21 @@ class FastWP(NaiveWP):
                                      len(uidx))
 
     def _scan_and_stitch(self, umat, uslen, inverse, sid, S, n_uniq):
+        bounds = np.searchsorted(sid, np.arange(S + 1, dtype=sid.dtype))
+        try:
+            from .._native import binding
+            binding._load()
+        except Exception:
+            binding = None
+        if binding is not None:
+            # Native stitch: token-id matrix -> list-of-list-of-str in one
+            # C pass (the Python object assembly below is otherwise the
+            # single largest cost of the whole encode path).
+            out_ids, out_n, out_table = self._run_e2e_packed(
+                umat, uslen, raw=True)
+            return binding.stitch(out_table.strings(), out_ids, out_n,
+                                  inverse, bounds)
+
         toks, out_n = self._run_e2e_packed(umat, uslen)
         counts = out_n.tolist()
         tok_rows = [toks[i, :counts[i]].tolist() for i in range(n_uniq)]
@@ -746,7 +799,6 @@ class FastWP(NaiveWP):
         # Chunks are in sentence order; group by per-sentence ranges and
         # concatenate at C speed.
         from itertools import chain
-        bounds = np.searchsorted(sid, np.arange(S + 1, dtype=sid.dtype))
         invs = inverse.tolist()
         getter = tok_rows.__getitem__
         return [

@@ -29,9 +29,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .bitmath import div_double_bits
 from .merge import apply_merge
-from .pairstats import _consts, _run_aggregate, _select, pack_pairs
+from .pairstats import (_consts, _run_aggregate, _select, pack_pairs,
+                        symbol_freqs, wp_select_core)
 
 MOD = (1 << 31) - 1  # Mersenne prime; products stay exact in i64
 HASH_B1 = 1_000_003
@@ -63,26 +63,10 @@ def pow_tables(max_len: int):
     return p1, p2
 
 
-def _wp_score_select(k_s, p_s, run_total, is_cand, sym_freq, narrow):
-    """WordPiece selection: exact-double score, first-seen tie-break."""
-    _, bits, space, _, _ = _consts(narrow)
-    a_all = jnp.where(is_cand, (k_s >> bits) & (space - 1),
-                      0).astype(jnp.int32)
-    b_all = jnp.where(is_cand, k_s & (space - 1), 0).astype(jnp.int32)
-    denom = (sym_freq[a_all].astype(jnp.int64)
-             * sym_freq[b_all].astype(jnp.int64))
-    metric = div_double_bits(
-        jnp.maximum(run_total, 1).astype(jnp.int64),
-        jnp.maximum(denom, 1))
-    best_key, _, _ = _select(k_s, p_s, metric, is_cand)
-    count_at = jnp.max(jnp.where((k_s == best_key) & is_cand, run_total,
-                                 jnp.asarray(-1, run_total.dtype)))
-    return best_key, count_at
-
-
 def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
                       n_sym, vocab_size, alive, pw1, pw2, sharp_h1,
-                      sharp_h2, max_vocab, narrow, sym_cap, wordpiece):
+                      sharp_h2, max_vocab, narrow, sym_cap, wordpiece,
+                      cand_cap=None):
     """Shared per-step core: winner selection + device string unification.
 
     ``sym_freq`` is the per-symbol frequency table (WordPiece scoring) or
@@ -92,8 +76,8 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
     """
     _, bits, space, _, _ = _consts(narrow)
     if wordpiece:
-        best_key, count_at = _wp_score_select(k_s, p_s, run_total, is_cand,
-                                              sym_freq, narrow)
+        best_key, _, _, count_at = wp_select_core(
+            k_s, p_s, run_total, is_cand, sym_freq, narrow, cand_cap)
     else:
         best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
 
@@ -136,10 +120,11 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
     return h1, h2, slen, n_sym, vocab_size, active, a, b, new_id, matched
 
 
-@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece"))
+@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
+                                   "cand_cap"))
 def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
                 sharp_h1, sharp_h2, max_vocab, K, narrow, sym_cap,
-                wordpiece):
+                wordpiece, cand_cap=None):
     """Run up to K merge steps on device (padded [n, L] corpus layout).
 
     sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
@@ -163,16 +148,13 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
             flat = sym.reshape(-1)
             wsym = jnp.broadcast_to(freq.astype(dt)[:, None],
                                     (n, L)).reshape(-1)
-            seg = jnp.where(flat >= 0, flat, sym_cap).astype(jnp.int32)
-            sym_freq = jax.ops.segment_sum(
-                jnp.where(flat >= 0, wsym, 0), seg,
-                num_segments=sym_cap + 1)
+            sym_freq = symbol_freqs(flat, wsym, sym_cap)
 
         (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
          matched) = _select_and_unify(
             k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-            narrow, sym_cap, wordpiece)
+            narrow, sym_cap, wordpiece, cand_cap)
 
         new_sym = apply_merge(sym, jnp.where(active, a, -3),
                               jnp.where(active, b, -3), new_id)
@@ -187,10 +169,11 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
     return carry, recs
 
 
-@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece"))
+@partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
+                                   "cand_cap"))
 def flat_train_steps(fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, pw1,
                      pw2, sharp_h1, sharp_h2, max_vocab, K, narrow,
-                     sym_cap, wordpiece):
+                     sym_cap, wordpiece, cand_cap=None):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
     intra-word padding)."""
@@ -205,16 +188,13 @@ def flat_train_steps(fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, pw1,
 
         sym_freq = None
         if wordpiece:
-            seg = jnp.where(fs >= 0, fs, sym_cap).astype(jnp.int32)
-            sym_freq = jax.ops.segment_sum(
-                jnp.where(fs >= 0, wgt, 0).astype(dt), seg,
-                num_segments=sym_cap + 1)
+            sym_freq = symbol_freqs(fs, wgt.astype(dt), sym_cap)
 
         (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
          matched) = _select_and_unify(
             k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-            narrow, sym_cap, wordpiece)
+            narrow, sym_cap, wordpiece, cand_cap)
 
         nfs, nwid, nwgt = flat_apply(fs, wid, wgt,
                                      jnp.where(active, a, -3),
@@ -233,6 +213,20 @@ def flat_train_steps(fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, pw1,
 
 class HashCollision(Exception):
     """Device hash unification disagreed with real string interning."""
+
+
+def _cand_cap(n_pairs: int):
+    """Static capacity for candidate compaction (WordPiece scoring).
+
+    Distinct pairs measure ~9x fewer than positions on real corpora
+    (train-5K: 187,885 flat positions, 21,864 max distinct pairs over
+    1,000 merges); a quarter of the positions is a comfortable bound, and
+    wp_select_core falls back to full-width scoring inside lax.cond if it
+    ever overflows — the cap trades cost only, never correctness.
+    """
+    if n_pairs < 16384:
+        return None
+    return -(-(n_pairs // 4) // 1024) * 1024
 
 
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
@@ -285,18 +279,25 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                  jnp.asarray(sl), jnp.int32(n0), jnp.int32(n0),
                  jnp.bool_(True))
 
+    cand_cap = None
+    if wordpiece:
+        n_pairs = (int(carry[0].shape[0]) - 1 if flat
+                   else n * max(L - 1, 1))
+        cand_cap = _cand_cap(n_pairs)
+
     done = False
     while not done:
         if flat:
             state, recs = flat_train_steps(
                 carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
                 carry[6], carry[7], pw1_d, pw2_d, sh1, sh2,
-                jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece)
+                jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
+                cand_cap)
         else:
             state, recs = train_steps(
                 carry[0], freq_dev, carry[1], carry[2], carry[3], carry[4],
                 carry[5], pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
-                narrow, sym_cap, wordpiece)
+                narrow, sym_cap, wordpiece, cand_cap)
         recs_np = jax.device_get(recs)
         steps_done = 0
         for k in range(K):

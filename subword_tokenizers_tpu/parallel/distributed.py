@@ -42,6 +42,21 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def fetch_global(arr):
+    """Materialize a (possibly cross-process sharded) jax array on host.
+
+    Single-process shardings fetch directly; multi-process shardings
+    all-gather the remote shards first (every host gets the full array —
+    the corpus-state view is small relative to training)."""
+    import numpy as np
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(arr.sharding.mesh, PartitionSpec())
+    return np.asarray(jax.jit(lambda x: x, out_shardings=rep)(arr))
+
+
 def process_count() -> int:
     import jax
     return jax.process_count()

@@ -78,3 +78,39 @@ def test_wp_pipeline_fuzz(seed):
         [ref_n.tokenize(s) for s in corpus]
     assert mine_f.tokenize_batch(corpus) == \
         [ref_f.tokenize(s) for s in corpus]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sharded_tiered_select_fuzz(seed):
+    """Mesh-vs-single fuzz on tie-heavy random corpora: the tiered
+    reduction (certificate + compacted gather + fallback) must reproduce
+    single-device training bit-for-bit regardless of which tier settles
+    each step. Small repetitive alphabets maximize count/score ties —
+    exactly where a wrong Σ-threshold margin would pick a different
+    winner."""
+    import jax
+
+    from subword_tokenizers_tpu.parallel.mesh import make_data_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    rng = random.Random(4242 + seed)
+    corpus = ["".join(rng.choice("ababcdcd  .") for _ in
+                      range(rng.randrange(10, 50)))
+              for _ in range(rng.randrange(2, 8))]
+    mv = rng.randrange(25, 70)
+    mesh = make_data_mesh(8)
+
+    single_b = NaiveBPE()
+    single_b.train(corpus, mv)
+    mesh_b = NaiveBPE(mesh=mesh)
+    mesh_b.train(corpus, mv)
+    assert mesh_b.merges_list == single_b.merges_list
+    assert mesh_b.corpus_as_symbols == single_b.corpus_as_symbols
+
+    single_w = NaiveWP()
+    single_w.train(corpus, mv)
+    mesh_w = NaiveWP(mesh=mesh)
+    mesh_w.train(corpus, mv)
+    assert mesh_w.vocab == single_w.vocab
+    assert mesh_w.corpus_as_symbols == single_w.corpus_as_symbols

@@ -77,3 +77,83 @@ def test_mesh_sizes():
         ref = NaiveBPE()
         ref.train(CORPUS[:2], 60)
         assert tok.merges_list == ref.merges_list
+
+
+def test_bpe_sharded_scale_topk(mesh8, pan_tadeusz):
+    """Two-phase top-K selection at realistic scale (300 sentences,
+    vocab 600, narrow path active under the mesh): bit-identical to
+    single-device, with the certificate proving most steps (no silent
+    always-fallback)."""
+    corpus = pan_tadeusz[:300]
+    single = NaiveBPE()
+    single.train(corpus, 600)
+    sharded = NaiveBPE(mesh=mesh8)
+    sharded.train(corpus, 600)
+    assert sharded.merges_list == single.merges_list
+    assert sharded.vocab == single.vocab
+    steps = len(sharded.merges_list)
+    assert steps > 400
+    # Every step must settle at a bandwidth-lean tier: certificate-proven
+    # top-K (O(K*D) comm) or exact compacted-runs gather (O(distinct*D));
+    # the full position gather must never fire at this scale.
+    assert sharded._sel_stats["proven"] > 0, sharded._sel_stats
+    assert sharded._sel_stats["full"] == 0, sharded._sel_stats
+
+
+def test_wp_sharded_scale_topk(mesh8, pan_tadeusz):
+    corpus = pan_tadeusz[:300]
+    single = NaiveWP()
+    single.train(corpus, 700)
+    sharded = NaiveWP(mesh=mesh8)
+    sharded.train(corpus, 700)
+    assert sharded.vocab == single.vocab
+    assert sharded.corpus_as_symbols == single.corpus_as_symbols
+
+
+def test_sharded_uniform_counts_fallback(mesh8):
+    """All pair counts equal: the winner is decided purely by first-seen
+    position, the Σ-threshold can never prove it, and every step must
+    fall back to the exact path — and still match single-device. This is
+    the case a wrong threshold would get wrong."""
+    corpus = ["zyx wvu tsr qpo nml kji hgf edc ba"]
+    single = NaiveBPE()
+    single.train(corpus, 40)
+    sharded = NaiveBPE(mesh=mesh8)
+    sharded.train(corpus, 40)
+    assert sharded.merges_list == single.merges_list
+    assert sharded._topk_fallbacks > 0
+
+
+def test_sharded_wide_path(mesh8, pan_tadeusz):
+    """Force the wide (i64) key path under the mesh by a large max_vocab
+    bound; results must still match the single-device narrow path."""
+    corpus = pan_tadeusz[:40]
+    single = NaiveBPE()
+    single.train(corpus, 200)
+    sharded = NaiveBPE(mesh=mesh8)
+    sharded.train(corpus, (1 << 16) + 200)  # narrow precondition fails
+    assert sharded.merges_list[:len(single.merges_list)][:180] == \
+        single.merges_list[:180]
+
+
+def test_topk_comm_is_small(mesh8):
+    """The compiled two-phase step must move candidate-sized arrays, not
+    corpus-sized ones: no all-gather result larger than K*D elements."""
+    import re
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from subword_tokenizers_tpu.parallel.train import (
+        TOPK, sharded_bpe_select_topk, shard_corpus)
+
+    n, L = 512, 12  # 5632 pair slots per shard >> K*D = 512
+    rng = np.random.default_rng(0)
+    sym = rng.integers(0, 50, size=(n, L)).astype(np.int32)
+    freq = np.ones(n, dtype=np.int64)
+    sym_d, freq_d = shard_corpus(mesh8, sym, freq)
+    lowered = sharded_bpe_select_topk.lower(mesh8, sym_d, freq_d, True)
+    hlo = lowered.compile().as_text()
+    cap = TOPK * 8
+    for m in re.finditer(r"all-gather[^=]*=?\s*\w*\[(\d+)", hlo):
+        assert int(m.group(1)) <= 4 * cap, m.group(0)

@@ -58,3 +58,38 @@ def test_hashes_roundtrip():
     mod = (1 << 31) - 1
     assert (h_a[0] * p1[1] + h_b[0]) % mod == h_ab[0]
     assert (h_a[1] * p2[1] + h_b[1]) % mod == h_ab[1]
+
+
+def test_wp_select_core_compaction_exact():
+    """Compacted candidate scoring must equal full-width scoring, and the
+    lax.cond overflow fallback must fire when the cap is too small."""
+    import jax.numpy as jnp
+    import numpy as np
+    from subword_tokenizers_tpu.ops.pairstats import (
+        _run_aggregate, pack_pairs, symbol_freqs, wp_select_core)
+
+    rng = np.random.default_rng(7)
+    for narrow in (False, True):
+        for trial in range(4):
+            n, L = 40, 8
+            sym = rng.integers(0, 12, size=(n, L)).astype(np.int32)
+            lens = rng.integers(1, L + 1, size=n)
+            sym[np.arange(L)[None, :] >= lens[:, None]] = -1
+            freq = rng.integers(1, 5, size=n).astype(np.int64)
+
+            sym_d = jnp.asarray(sym)
+            keys, pos = pack_pairs(sym_d, narrow)
+            dt = keys.dtype
+            w = jnp.broadcast_to(jnp.asarray(freq, dt)[:, None],
+                                 (n, L - 1)).reshape(-1)
+            k_s, p_s, rt, cand = _run_aggregate(keys, pos, w, narrow)
+            flat = sym_d.reshape(-1)
+            wsym = jnp.broadcast_to(jnp.asarray(freq, dt)[:, None],
+                                    (n, L)).reshape(-1)
+            sf = symbol_freqs(flat, wsym, 16)
+
+            want = wp_select_core(k_s, p_s, rt, cand, sf, narrow, None)
+            for cap in (4, 64, 256):  # 4 always overflows -> cond fallback
+                got = wp_select_core(k_s, p_s, rt, cand, sf, narrow, cap)
+                assert [int(x) for x in got] == [int(x) for x in want], \
+                    (narrow, trial, cap)
