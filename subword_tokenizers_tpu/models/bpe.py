@@ -341,10 +341,10 @@ class NaiveBPE(SubwordTokenizer):
     # ------------------------------------------------- batched device path
 
     def _build_device_tables(self):
-        """Rank hash table for the device encoder; cached device-resident."""
+        """Rank hash table for the device encoder; cached per device."""
         if self._device_tables is not None:
             return self._device_tables
-        import jax.numpy as jnp
+        from ..core.dispatch import DeviceCache
         from ..ops.bpe_encode import build_rank_hash
         from ..ops.pairstats import SYM_BITS
 
@@ -356,8 +356,8 @@ class NaiveBPE(SubwordTokenizer):
             out = table.intern(pair[0] + pair[1])
             entries.append(((a << SYM_BITS) | b, rank, out))
         hkeys, hrank, hout, max_probe = build_rank_hash(entries)
-        self._device_tables = (table, jnp.asarray(hkeys),
-                               jnp.asarray(hrank), jnp.asarray(hout),
+        self._device_tables = (table,
+                               DeviceCache(lambda: (hkeys, hrank, hout)),
                                max_probe)
         return self._device_tables
 
@@ -368,12 +368,16 @@ class NaiveBPE(SubwordTokenizer):
 
     def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
         """Encode unique words as one batched device call."""
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
+        from ..core.dispatch import scan_device
         from ..ops.bpe_encode import bpe_encode
 
         if self._has_duplicate_merges():
             return [self.encode_word(w) for w in words]
-        table, hkeys, hrank, hout, max_probe = self._build_device_tables()
+        table, dev_cache, max_probe = self._build_device_tables()
         max_len = max((len(w) for w in words), default=1)
         W = len(words)
         sym = np.full((W, max(max_len, 2)), -1, dtype=np.int32)
@@ -384,8 +388,13 @@ class NaiveBPE(SubwordTokenizer):
                     # Unseen char: fresh id, participates in no merge.
                     sid = table.intern(ch)
                 sym[i, j] = sid
-        merged = np.asarray(bpe_encode(jnp.asarray(sym), hkeys, hrank,
-                                       hout, self._MONOTONE, max_probe))
+        dev = scan_device(int(sym.size), self.mesh)
+        hkeys, hrank, hout = dev_cache.get(dev)
+        ctx = jax.default_device(dev) if dev is not None else \
+            contextlib.nullcontext()
+        with ctx:
+            merged = np.asarray(bpe_encode(jnp.asarray(sym), hkeys, hrank,
+                                           hout, self._MONOTONE, max_probe))
         results: List[List[str]] = []
         for i, w in enumerate(words):
             ids = [int(s) for s in merged[i] if s >= 0]

@@ -318,19 +318,23 @@ class NaiveWP(SubwordTokenizer):
 
     def _build_match_trie(self):
         if self._match_trie is None:
-            import jax.numpy as jnp
+            from ..core.dispatch import DeviceCache
             out = SymbolTable()
             out.intern(UNK)
             trie = MatchTrie.build(sorted(self.vocab), out)
             self._match_trie = trie
             self._match_out = out
-            # Device-resident model state, uploaded once.
-            self._match_dev = (jnp.asarray(trie.goto),
-                               jnp.asarray(trie.accept))
+            # Model state uploads once per (trie, device).
+            self._match_dev = DeviceCache(
+                lambda: (trie.goto, trie.accept))
         return self._match_trie, self._match_out
 
     def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
+        from ..core.dispatch import scan_device
         from ..ops.wp_encode import wp_match_encode
 
         trie, out_table = self._build_match_trie()
@@ -341,11 +345,15 @@ class NaiveWP(SubwordTokenizer):
         wmat = np.full((W, L), trie.n_alpha, dtype=np.int32)
         mask = np.arange(L, dtype=np.int32)[None, :] < wlen[:, None]
         wmat[mask] = flat
-        goto_dev, accept_dev = self._match_dev
-        out, out_n, unk, ovf = wp_match_encode(
-            jnp.asarray(wmat), jnp.asarray(wlen),
-            goto_dev, accept_dev,
-            int(trie.alpha[ord("#")]))
+        dev = scan_device(int(wmat.size), self.mesh)
+        goto_dev, accept_dev = self._match_dev.get(dev)
+        ctx = jax.default_device(dev) if dev is not None else \
+            contextlib.nullcontext()
+        with ctx:
+            out, out_n, unk, ovf = wp_match_encode(
+                jnp.asarray(wmat), jnp.asarray(wlen),
+                goto_dev, accept_dev,
+                int(trie.alpha[ord("#")]))
         out = np.asarray(out)
         out_n = np.asarray(out_n)
         unk = np.asarray(unk)
@@ -555,6 +563,9 @@ class FastWP(NaiveWP):
         tables, one scatter per step. Used by the chunked path.
         ``raw=True`` skips host string materialization and returns
         (out_ids, out_n, out_table) for the native stitch."""
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
         from ..ops.wp_encode_e2e import (pack_chars, pack_node_info,
                                          wp_e2e_scan)
@@ -565,13 +576,14 @@ class FastWP(NaiveWP):
             return self._run_e2e(cps, slen, raw)
         if getattr(self, "_packed_cache", None) is None or \
                 self._packed_cache[0] is not trie:
-            # Upload the model state once per trie — the goto table is
-            # tens of MB and must not travel to the device on every call.
+            # Model state uploads once per (trie, device) — the goto table
+            # is tens of MB and must not travel to the device per call.
+            from ..core.dispatch import DeviceCache
             info = pack_node_info(trie.fail, trie.pops_off, trie.pops_flat,
                                   n_pops)
-            self._packed_cache = (trie, jnp.asarray(info),
-                                  jnp.asarray(trie.goto))
-        _, node_info, goto_dev = self._packed_cache
+            self._packed_cache = (trie,
+                                  DeviceCache(lambda: (info, trie.goto)))
+        dev_cache = self._packed_cache[1]
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
         pchar = pack_chars(trie.alpha[cps], WS_PY[cps], PUNC_PY[cps])
         slen32 = slen.astype(np.int32)
@@ -584,6 +596,7 @@ class FastWP(NaiveWP):
             # (goto/node tables) is replicated.
             from ..parallel.encode import (pad_rows, put_sharded,
                                            sharded_e2e_scan)
+            node_info, goto_dev = dev_cache.get(None)
             pchar_p, slen_p, n_real = pad_rows(self.mesh, pchar, slen32)
             pchar_d, slen_d = put_sharded(self.mesh, pchar_p, slen_p)
             out, out_n, ovf, stuck, crash = sharded_e2e_scan(
@@ -596,11 +609,19 @@ class FastWP(NaiveWP):
             stuck = stuck[:n_real]
             crash = crash[:n_real]
         else:
-            out, out_n, ovf, stuck, crash = wp_e2e_scan(
-                jnp.asarray(pchar), jnp.asarray(slen32),
-                goto_dev, node_info,
-                trie.root_p, trie.root_sharp, self._unk_id,
-                sharp_seq, n_pops)
+            # Latency-aware dispatch: tiny scans run on the host CPU
+            # backend (bit-identical program; see core/dispatch.py).
+            from ..core.dispatch import scan_device
+            dev = scan_device(int(pchar.size))
+            node_info, goto_dev = dev_cache.get(dev)
+            ctx = jax.default_device(dev) if dev is not None else \
+                contextlib.nullcontext()
+            with ctx:
+                out, out_n, ovf, stuck, crash = wp_e2e_scan(
+                    jnp.asarray(pchar), jnp.asarray(slen32),
+                    goto_dev, node_info,
+                    trie.root_p, trie.root_sharp, self._unk_id,
+                    sharp_seq, n_pops)
         return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table,
                                 raw)
 

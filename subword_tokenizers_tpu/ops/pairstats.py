@@ -139,13 +139,23 @@ def compact_cands(k_s, p_s, run_total, is_cand, cap: int, narrow: bool):
     """
     _, _, _, sentinel, vmax = _consts(narrow)
     n = k_s.shape[0]
-    idx = jnp.nonzero(is_cand, size=cap, fill_value=n)[0]
+    # Index compaction WITHOUT jnp.nonzero: under x64 its internal cumsum
+    # runs in int64, which this TPU emulates as a (u32,u32)-tuple
+    # reduce-window whose scoped-VMEM footprint blows the 16 MB limit at
+    # corpus sizes (seen as a compile-time OOM). All-i32 instead: rank the
+    # candidates with an i32 cumsum and scatter their positions (each rank
+    # < cap receives exactly one source index; non-candidates and
+    # overflow ranks land in the dump slot that the slice drops).
+    rank = jnp.cumsum(is_cand.astype(jnp.int32)) - 1
+    ovf = (rank[-1] + 1 > cap) if n > 0 else jnp.bool_(False)
+    tgt = jnp.where(is_cand & (rank < cap), rank, cap)
+    src = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.full(cap + 1, n, jnp.int32).at[tgt].min(src)[:cap]
     valid = idx < n
     safe = jnp.minimum(idx, n - 1)
     ck = jnp.where(valid, k_s[safe], sentinel)
     cp = jnp.where(valid, p_s[safe], vmax)
     cc = jnp.where(valid, run_total[safe], 0)
-    ovf = jnp.sum(is_cand) > cap
     return ck, cp, cc, valid, ovf
 
 

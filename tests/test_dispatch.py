@@ -1,0 +1,66 @@
+"""Latency-aware CPU dispatch for small encode batches (core/dispatch.py).
+
+The real decision only fires on an accelerator backend; here the
+accelerator is simulated by monkeypatching ``jax.default_backend`` so the
+routing branch executes (on the CPU device it selects) and its output can
+be diffed against the default path.
+"""
+import jax
+import pytest
+
+from subword_tokenizers_tpu.core import dispatch
+
+
+def test_scan_device_logic(monkeypatch):
+    # On the CPU backend the default placement is already right.
+    assert dispatch.scan_device(10) is None
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dev = dispatch.scan_device(10)
+    assert dev is not None and dev.platform == "cpu"
+    # An explicit mesh pins the sharded path.
+    assert dispatch.scan_device(10, mesh=object()) is None
+    # Large workloads stay on the accelerator.
+    assert dispatch.scan_device(1 << 30) is None
+    # threshold == 0 disables routing.
+    assert dispatch.scan_device(10, threshold=0) is None
+    assert dispatch.scan_device(10, threshold=11) is not None
+
+
+def test_device_cache_per_device():
+    import numpy as np
+    calls = []
+
+    def build():
+        calls.append(1)
+        return (np.arange(4, dtype=np.int32),)
+
+    cache = dispatch.DeviceCache(build)
+    a0 = cache.get(None)
+    a1 = cache.get(None)
+    assert len(calls) == 1 and a0[0] is a1[0]
+    dev = jax.devices("cpu")[0]
+    b0 = cache.get(dev)
+    b1 = cache.get(dev)
+    assert len(calls) == 1 and b0[0] is b1[0]
+    assert list(b0[0].devices())[0] == dev
+
+
+@pytest.mark.parametrize("model", ["FastWP", "NaiveWP", "FastBPE"])
+def test_dispatched_encode_bit_exact(monkeypatch, model, pan_tadeusz,
+                                     pan_tadeusz_golden):
+    import subword_tokenizers_tpu as swt
+
+    names = {"FastWP": "FastWordPiece", "NaiveWP": "NaiveWordPiece",
+             "FastBPE": "FastBPE"}
+    corpus = pan_tadeusz[:40]
+    golden = pan_tadeusz_golden[names[model]][:40]
+
+    tok = getattr(swt, model)()
+    tok.load_resources(
+        f"/root/reference/resources/pretrained/{names[model]}")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert dispatch.scan_device(100) is not None  # routing active
+    out = tok.tokenize_batch(corpus)
+    assert out == golden

@@ -60,6 +60,43 @@ def test_hashes_roundtrip():
     assert (h_a[1] * p2[1] + h_b[1]) % mod == h_ab[1]
 
 
+def test_no_i64_cumsum_in_narrow_wp_step():
+    """The narrow-path WP training step must not contain an int64 cumsum:
+    this TPU emulates 64-bit scans as (u32,u32)-tuple reduce-windows whose
+    scoped-VMEM footprint fails to compile at corpus sizes (jnp.nonzero
+    under x64 sneaks one in via its internal index cumsum)."""
+    import jax
+    import jax.numpy as jnp
+    from subword_tokenizers_tpu.ops.pairstats import wp_select
+
+    def step(sym, freq):
+        return wp_select(sym, freq, 64, narrow=True, cand_cap=32)
+
+    sym = jnp.zeros((16, 8), jnp.int32)
+    freq = jnp.ones((16,), jnp.int64)
+    jaxpr = jax.make_jaxpr(step)(sym, freq)
+
+    def walk(jp, out):
+        for eqn in jp.eqns:
+            if str(eqn.primitive) in ("cumsum", "cummax", "cummin",
+                                      "cumlogsumexp", "cumprod"):
+                out.append(eqn)
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr, out)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if hasattr(x, "jaxpr"):
+                            walk(x.jaxpr, out)
+        return out
+
+    scans = walk(jaxpr.jaxpr, [])
+    bad = [e for e in scans
+           if any(getattr(iv.aval, "dtype", None) == jnp.int64
+                  for iv in e.invars)]
+    assert not bad, f"int64 scan ops in narrow WP step: {bad}"
+
+
 def test_wp_select_core_compaction_exact():
     """Compacted candidate scoring must equal full-width scoring, and the
     lax.cond overflow fallback must fire when the cap is too small."""

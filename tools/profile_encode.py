@@ -96,7 +96,7 @@ def main():
 
     import jax.numpy as jnp
     from subword_tokenizers_tpu.ops.wp_encode_e2e import wp_e2e_scan
-    _, node_info, goto_dev = tok._packed_cache
+    node_info, goto_dev = tok._packed_cache[1].get(None)
     sharp_seq = tok._sharp_seq if tok._sharp_seq is not None else (-2,)
     n_pops = max(trie.max_pops, 1)
     slen32 = uslen.astype(np.int32)

@@ -54,7 +54,7 @@ def build_inputs():
     umat = np.where(umask, flatp[take], np.uint32(32))
     pchar = pack_chars(trie.alpha[umat], WS_PY[umat], PUNC_PY[umat])
     slen = (uniq_len + 1).astype(np.int32)
-    _, node_info, goto_dev = tok._packed_cache
+    node_info, goto_dev = tok._packed_cache[1].get(None)
     sharp = tuple(tok._sharp_seq) if tok._sharp_seq else (-2,)
     return (tok, trie, jnp.asarray(pchar), jnp.asarray(slen), goto_dev,
             node_info, sharp)
