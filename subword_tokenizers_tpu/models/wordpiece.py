@@ -567,8 +567,7 @@ class FastWP(NaiveWP):
 
         import jax
         import jax.numpy as jnp
-        from ..ops.wp_encode_e2e import (pack_chars, pack_node_info,
-                                         wp_e2e_scan)
+        from ..ops.wp_encode_e2e import pack_chars, pack_node_info
 
         trie, out_table = self._trie()
         n_pops = max(trie.max_pops, 1)
@@ -610,18 +609,20 @@ class FastWP(NaiveWP):
             crash = crash[:n_real]
         else:
             # Latency-aware dispatch: tiny scans run on the host CPU
-            # backend (bit-identical program; see core/dispatch.py).
+            # backend (bit-identical program; see core/dispatch.py); the
+            # sliced driver sorts rows by length and dispatches
+            # fixed-shape slices asynchronously.
             from ..core.dispatch import scan_device
+            from ..ops.wp_encode_e2e import sliced_e2e_scan
             dev = scan_device(int(pchar.size))
             node_info, goto_dev = dev_cache.get(dev)
             ctx = jax.default_device(dev) if dev is not None else \
                 contextlib.nullcontext()
             with ctx:
-                out, out_n, ovf, stuck, crash = wp_e2e_scan(
-                    jnp.asarray(pchar), jnp.asarray(slen32),
-                    goto_dev, node_info,
+                out, out_n, ovf, stuck, crash = sliced_e2e_scan(
+                    pchar, slen32, goto_dev, node_info,
                     trie.root_p, trie.root_sharp, self._unk_id,
-                    sharp_seq, n_pops)
+                    sharp_seq, n_pops, trie.n_alpha)
         return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table,
                                 raw)
 
@@ -734,7 +735,9 @@ class FastWP(NaiveWP):
                 return [[] for _ in range(S)]
             sid = np.searchsorted(sent_start, chunk_start,
                                   side="right") - 1
-            Lc = int(uniq_len.max()) + 2
+            # +2 for the trailing space + boundary lookback; rounded to a
+            # multiple of 8 so compiled scan shapes repeat across corpora.
+            Lc = -(-(int(uniq_len.max()) + 2) // 8) * 8
             flatp = np.concatenate([flat, np.full(Lc, 32, np.uint32)])
             take = uniq_start[:, None] + np.arange(Lc,
                                                    dtype=np.int64)[None, :]
@@ -766,9 +769,10 @@ class FastWP(NaiveWP):
         sid = np.searchsorted(sent_start, starts, side="right") - 1
 
         # pad chunks (+1 trailing space, reference: wordpiece.py:248, and
-        # +1 more so the boundary lookback at i == slen stays in range)
+        # +1 more so the boundary lookback at i == slen stays in range;
+        # rounded to a multiple of 8 for compiled-shape reuse)
         clen = (ends - starts).astype(np.int32)
-        Lc = int(clen.max()) + 2
+        Lc = -(-(int(clen.max()) + 2) // 8) * 8
         C = starts.size
         flatp = np.concatenate([flat, np.full(Lc, 32, np.uint32)])
         take = starts[:, None] + np.arange(Lc, dtype=np.int64)[None, :]

@@ -68,7 +68,13 @@ def flat_apply(fs, wid, wgt, a, b, new_id):
     """Merge all non-overlapping (a, b) adjacencies and left-compact.
 
     Same semantics as ops/merge.apply_merge, on the flat layout; the
-    compaction is one stable 4-operand sort by liveness.
+    compaction is one stable 4-operand sort by liveness. Additionally
+    returns ``n_rep`` — the total corpus *weight* of replacements
+    performed (each replacement consumes one ``a`` and one ``b`` token and
+    produces one ``new_id`` token, so symbol frequencies update exactly as
+    ``freq[a] -= n_rep; freq[b] -= n_rep; freq[new_id] += n_rep`` — the
+    incremental equivalent of the reference's per-step recount,
+    source/wordpiece.py:78-81).
     """
     F = fs.shape[0]
     a = jnp.asarray(a, jnp.int32)
@@ -98,4 +104,5 @@ def flat_apply(fs, wid, wgt, a, b, new_id):
     livekey = jnp.where(keep, jnp.int32(0), jnp.int32(1))
     _, cfs, cwid, cwgt = jax.lax.sort((livekey, nfs, nwid, nwgt),
                                       num_keys=1, is_stable=True)
-    return cfs, cwid, cwgt
+    n_rep = jnp.sum(jnp.where(match, wgt, 0))
+    return cfs, cwid, cwgt, n_rep

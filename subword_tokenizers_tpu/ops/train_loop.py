@@ -171,41 +171,50 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
                                    "cand_cap"))
-def flat_train_steps(fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, pw1,
-                     pw2, sharp_h1, sharp_h2, max_vocab, K, narrow,
-                     sym_cap, wordpiece, cand_cap=None):
+def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
+                     vocab_size, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
+                     K, narrow, sym_cap, wordpiece, cand_cap=None):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
-    intra-word padding)."""
+    intra-word padding).
+
+    ``sym_freq`` is the per-symbol weight table ([sym_cap + 1], trailing
+    trash bucket; see :func:`~.pairstats.symbol_freqs`). Instead of the
+    per-step recount (a corpus-sized scatter-add), it is carried across
+    steps and updated incrementally from the merge's replacement weight —
+    exactly equal to the recount (each replacement consumes one ``a`` and
+    one ``b`` and produces one merged token). BPE carries it untouched.
+    """
     from .flat import flat_aggregate, flat_apply
 
-    dt = _consts(narrow)[0]
-
     def step(carry, _):
-        fs, wid, wgt, h1, h2, slen, n_sym, vocab_size, alive = carry
+        (fs, wid, wgt, sym_freq, h1, h2, slen, n_sym, vocab_size,
+         alive) = carry
 
         k_s, p_s, run_total, is_cand = flat_aggregate(fs, wid, wgt, narrow)
 
-        sym_freq = None
-        if wordpiece:
-            sym_freq = symbol_freqs(fs, wgt.astype(dt), sym_cap)
-
         (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
          matched) = _select_and_unify(
-            k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
+            k_s, p_s, run_total, is_cand,
+            sym_freq if wordpiece else None, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
             narrow, sym_cap, wordpiece, cand_cap)
 
-        nfs, nwid, nwgt = flat_apply(fs, wid, wgt,
-                                     jnp.where(active, a, -3),
-                                     jnp.where(active, b, -3), new_id)
+        nfs, nwid, nwgt, n_rep = flat_apply(fs, wid, wgt,
+                                            jnp.where(active, a, -3),
+                                            jnp.where(active, b, -3),
+                                            new_id)
+        if wordpiece:
+            upd = jnp.where(active, n_rep, 0).astype(sym_freq.dtype)
+            sym_freq = sym_freq.at[a].add(-upd).at[b].add(-upd) \
+                               .at[new_id].add(upd)
 
         rec = {"a": a, "b": b, "new_id": new_id, "matched": matched,
                "active": active}
-        return ((nfs, nwid, nwgt, h1, h2, slen, n_sym, vocab_size,
-                 alive & active), rec)
+        return ((nfs, nwid, nwgt, sym_freq, h1, h2, slen, n_sym,
+                 vocab_size, alive & active), rec)
 
-    carry0 = (fs, wid, wgt, h1, h2, slen, n_sym, vocab_size,
+    carry0 = (fs, wid, wgt, sym_freq, h1, h2, slen, n_sym, vocab_size,
               jnp.bool_(True))
     carry, recs = jax.lax.scan(step, carry0, None, length=K)
     return carry, recs
@@ -268,10 +277,18 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
 
     if flat:
         from .flat import build_flat
+        from .pairstats import _consts
         sym_host = np.asarray(sym_dev)
         freq_host = np.asarray(freq_dev)
         fs, wid, wgt = build_flat(sym_host, freq_host)
+        # Initial per-symbol weights (host, exact integers); carried and
+        # updated incrementally on device thereafter.
+        sfreq = np.zeros(sym_cap + 1,
+                         dtype=np.int32 if narrow else np.int64)
+        np.add.at(sfreq, np.where(fs >= 0, fs, sym_cap),
+                  np.where(fs >= 0, wgt, 0).astype(sfreq.dtype))
         carry = (jnp.asarray(fs), jnp.asarray(wid), jnp.asarray(wgt),
+                 jnp.asarray(sfreq),
                  jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(sl),
                  jnp.int32(n0), jnp.int32(n0), jnp.bool_(True))
     else:
@@ -290,7 +307,7 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         if flat:
             state, recs = flat_train_steps(
                 carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
-                carry[6], carry[7], pw1_d, pw2_d, sh1, sh2,
+                carry[6], carry[7], carry[8], pw1_d, pw2_d, sh1, sh2,
                 jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
                 cand_cap)
         else:

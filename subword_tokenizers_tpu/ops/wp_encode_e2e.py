@@ -32,6 +32,9 @@ AID_MASK = (1 << 22) - 1
 # node_info columns: 0=fail, 1=pop count, 2..2+P-1 = pops
 NODE_INFO_POPS = 2
 
+# Scan-body compositions per while_loop trip (see _wp_e2e_scan_impl).
+UNROLL = 4
+
 
 def pack_chars(aid, is_sp, is_pc):
     """Host/device helper: pack per-position char word (numpy-compatible)."""
@@ -61,6 +64,29 @@ def pack_node_info(fail, pops_off, pops_flat, width):
     return info
 
 
+# u16 wire format for the host->device transfer (the remote-dispatch
+# tunnel moves ~60 MB/s; halving the packed char matrix pays directly):
+# aid in bits 0..12, (sp, pc, prev_pc) in bits 13..15. Only valid while
+# the alphabet fits 13 bits — callers check ``n_alpha < 1 << 13``.
+U16_AID_MASK = (1 << 13) - 1
+
+
+def pack_u16(pchar):
+    """Host: canonical i32 packed chars -> u16 wire words (numpy)."""
+    return ((pchar & U16_AID_MASK)
+            | ((pchar >> 9) & 0xE000)).astype("uint16")
+
+
+@partial(jax.jit, static_argnames=("n_pops", "sharp_seq"))
+def wp_e2e_scan_u16(pchar16, slen, goto_table, node_info, root_p,
+                    root_sharp, unk_id, sharp_seq, n_pops):
+    """u16-wire variant of :func:`wp_e2e_scan` (same results)."""
+    cw = pchar16.astype(jnp.int32)
+    pchar = (cw & U16_AID_MASK) | ((cw & 0xE000) << 9)
+    return _wp_e2e_scan_impl(pchar, slen, goto_table, node_info, root_p,
+                             root_sharp, unk_id, sharp_seq, n_pops)
+
+
 @partial(jax.jit, static_argnames=("n_pops", "sharp_seq"))
 def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
                 unk_id, sharp_seq, n_pops):
@@ -76,6 +102,12 @@ def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
     IndexError (source/wordpiece.py:285) — only reachable with
     whitespace-bearing vocab tokens.
     """
+    return _wp_e2e_scan_impl(pchar, slen, goto_table, node_info, root_p,
+                             root_sharp, unk_id, sharp_seq, n_pops)
+
+
+def _wp_e2e_scan_impl(pchar, slen, goto_table, node_info, root_p,
+                      root_sharp, unk_id, sharp_seq, n_pops):
     S, T = pchar.shape
     CAP = T + 4
     MAXITER = 6 * T + 64
@@ -184,7 +216,81 @@ def wp_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
         "crash": jnp.zeros((S,), bool),
         "it": jnp.int32(0),
     }
-    st = jax.lax.while_loop(cond, body, init)
+
+    # The while_loop pays a fixed per-trip overhead on this backend that
+    # dominates the per-element work; the body is a no-op on DONE rows
+    # (every action is mode-gated and emissions scatter nothing), so
+    # composing it UNROLL times per trip is exact and cuts trip count.
+    def body_u(st):
+        for _ in range(UNROLL):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, body_u, init)
     stuck = st["mode"] != DONE
     out2d = st["out"].reshape(S, OUTW)[:, :CAP]
     return out2d, st["ptr"], st["ovf"], stuck, st["crash"]
+
+
+# Row-count quanta for the sliced driver: shapes repeat across corpora so
+# compiled executables get reused (each new shape is a multi-minute XLA
+# compile through the remote tunnel).
+ROW_QUANTA = (1024, 2048, 4096, 8192)
+SLICE_ROWS = ROW_QUANTA[-1]
+
+
+def _quantize_rows(u: int) -> int:
+    for q in ROW_QUANTA:
+        if u <= q:
+            return q
+    return -(-u // SLICE_ROWS) * SLICE_ROWS
+
+
+def sliced_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
+                    unk_id, sharp_seq, n_pops, n_alpha):
+    """Host driver: length-sorted sliced scan with async dispatch.
+
+    The while_loop runs in lockstep until every row of the batch is DONE,
+    so one monolithic batch costs ~(rows x longest-chunk) iterations.
+    Sorting rows by length and slicing into fixed-row batches makes each
+    slice's trip count its *own* max length (the loop condition is
+    dynamic), cutting total element-iterations to ~sum-of-lengths; the
+    slices dispatch back-to-back, so transfers of slice k+1 overlap the
+    device scan of slice k. Transfers use the u16 wire format when the
+    alphabet fits (it always does for real vocabularies).
+
+    Row padding (zero rows, slen = 0 -> DONE at init) goes at the FRONT of
+    the sorted order so it lands in the shortest — cheapest — slice.
+    Returns host (numpy) arrays in the caller's original row order.
+    """
+    import numpy as np
+
+    U, T = pchar.shape
+    order = np.argsort(slen, kind="stable")
+    R = _quantize_rows(U)
+    pad = R - U
+    ps = np.zeros((R, T), dtype=pchar.dtype)
+    ls = np.zeros((R,), dtype=slen.dtype)
+    ps[pad:] = pchar[order]
+    ls[pad:] = slen[order]
+
+    u16 = n_alpha < (1 << 13)
+    if u16:
+        ps = pack_u16(ps)
+        fn = wp_e2e_scan_u16
+    else:
+        fn = wp_e2e_scan
+
+    sr = min(R, SLICE_ROWS)
+    parts = []
+    for k in range(R // sr):
+        sl = slice(k * sr, (k + 1) * sr)
+        parts.append(fn(jnp.asarray(ps[sl]), jnp.asarray(ls[sl]),
+                        goto_table, node_info, root_p, root_sharp,
+                        unk_id, sharp_seq, n_pops))
+    fetched = jax.device_get(parts)
+    cat = [np.concatenate([f[j] for f in fetched])[pad:]
+           for j in range(5)]
+    inv = np.empty(U, dtype=np.int64)
+    inv[order] = np.arange(U, dtype=np.int64)
+    return tuple(a[inv] for a in cat)

@@ -26,9 +26,20 @@ def test_flat_apply_matches_padded_apply():
     new = len(table)
     ref = np.asarray(apply_merge(jnp.asarray(ca.sym), a, b, new))
     fs, wid, wgt = build_flat(ca.sym, ca.freq)
-    nfs, nwid, _ = [np.asarray(x) for x in
-                    flat_apply(jnp.asarray(fs), jnp.asarray(wid),
-                               jnp.asarray(wgt), a, b, new)]
+    nfs, nwid, _, n_rep = [np.asarray(x) for x in
+                           flat_apply(jnp.asarray(fs), jnp.asarray(wid),
+                                      jnp.asarray(wgt), a, b, new)]
+    # replacement weight == weighted count of (a,b) matches actually taken
+    want_rep = 0
+    for w, f in zip(WORDS, FREQ):
+        i = 0
+        while i < len(w) - 1:
+            if w[i] == "a" and w[i + 1] == "b":
+                want_rep += int(f)
+                i += 2
+            else:
+                i += 1
+    assert int(n_rep) == want_rep
     # regroup flat result by word and compare against padded rows
     for w in range(len(WORDS)):
         row_flat = nfs[(nwid == w) & (nfs >= 0)].tolist()

@@ -130,3 +130,66 @@ def test_type_validation():
         tok.tokenize(1.5)
     with pytest.raises(TypeError):
         FastWP().tokenize(None)
+
+
+def test_sliced_scan_matches_monolithic():
+    """sliced_e2e_scan (length-sorted slices, u16 wire, front padding)
+    must reproduce the monolithic i32 scan exactly, across slice
+    boundaries and row-count quanta."""
+    import jax.numpy as jnp
+    import numpy as np
+    from subword_tokenizers_tpu.frontend.charclass import (PUNC_PY, WS_PY,
+                                                           codepoints)
+    from subword_tokenizers_tpu.models.wordpiece import FastWP
+    from subword_tokenizers_tpu.ops import wp_encode_e2e as e2e
+
+    tok = FastWP()
+    tok.vocab = {"a", "##b", "ab", "b", "##a", "x", "!", "##!", "abx"}
+    trie, _ = tok._trie()
+    info = e2e.pack_node_info(trie.fail, trie.pops_off, trie.pops_flat,
+                              max(trie.max_pops, 1))
+    info_d = jnp.asarray(info)
+    goto_d = jnp.asarray(trie.goto)
+    sharp = tok._sharp_seq if tok._sharp_seq is not None else (-2,)
+
+    rng = np.random.default_rng(3)
+    chunks = ["a", "ab", "abx", "b!", "x" * 9, "ab" * 5, "!", "q",
+              "ba", "abab!x"]
+    rows = [chunks[i] for i in rng.integers(0, len(chunks), size=70)]
+    T = max(len(c) for c in rows) + 2
+    S = len(rows)
+    cps = np.full((S, T), 32, dtype=np.uint32)
+    slen = np.zeros(S, dtype=np.int32)
+    for i, c in enumerate(rows):
+        arr = codepoints(c + " ")
+        cps[i, :len(arr)] = arr
+        slen[i] = len(arr)
+    pchar = e2e.pack_chars(trie.alpha[cps], WS_PY[cps], PUNC_PY[cps])
+
+    want = [np.asarray(x) for x in e2e.wp_e2e_scan(
+        jnp.asarray(pchar), jnp.asarray(slen), goto_d, info_d,
+        trie.root_p, trie.root_sharp, tok._unk_id, tuple(sharp),
+        max(trie.max_pops, 1))]
+
+    # Force multiple tiny slices to cross slice boundaries.
+    old_q, old_s = e2e.ROW_QUANTA, e2e.SLICE_ROWS
+    try:
+        e2e.ROW_QUANTA, e2e.SLICE_ROWS = (16, 32), 32
+        got = e2e.sliced_e2e_scan(pchar, slen, goto_d, info_d,
+                                  trie.root_p, trie.root_sharp,
+                                  tok._unk_id, tuple(sharp),
+                                  max(trie.max_pops, 1), trie.n_alpha)
+    finally:
+        e2e.ROW_QUANTA, e2e.SLICE_ROWS = old_q, old_s
+    for w, g in zip(want, got):
+        assert np.array_equal(np.asarray(w), np.asarray(g))
+
+    # u16 wire roundtrip is exact for every representable aid/flag combo.
+    aid = rng.integers(0, 1 << 13, size=(4, 64)).astype(np.int32)
+    fl = rng.integers(0, 2, size=(3, 4, 64)).astype(np.int32)
+    pc32 = aid | (fl[0] << 22) | (fl[1] << 23) | (fl[2] << 24)
+    w16 = e2e.pack_u16(pc32)
+    assert w16.dtype == np.uint16
+    back = (w16.astype(np.int32) & e2e.U16_AID_MASK) \
+        | ((w16.astype(np.int32) & 0xE000) << 9)
+    assert np.array_equal(back, pc32)
