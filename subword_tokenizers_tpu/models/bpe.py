@@ -392,9 +392,16 @@ class NaiveBPE(SubwordTokenizer):
         hkeys, hrank, hout = dev_cache.get(dev)
         ctx = jax.default_device(dev) if dev is not None else \
             contextlib.nullcontext()
+        wlen = np.fromiter((len(w) for w in words), dtype=np.int32,
+                           count=W)
+
+        def fn(s):
+            return (bpe_encode(s, hkeys, hrank, hout, self._MONOTONE,
+                               max_probe),)
+
+        from ..core.batching import sliced_rows
         with ctx:
-            merged = np.asarray(bpe_encode(jnp.asarray(sym), hkeys, hrank,
-                                           hout, self._MONOTONE, max_probe))
+            (merged,) = sliced_rows(fn, (sym,), (-1,), wlen, 1)
         results: List[List[str]] = []
         for i, w in enumerate(words):
             ids = [int(s) for s in merged[i] if s >= 0]

@@ -349,14 +349,15 @@ class NaiveWP(SubwordTokenizer):
         goto_dev, accept_dev = self._match_dev.get(dev)
         ctx = jax.default_device(dev) if dev is not None else \
             contextlib.nullcontext()
+        hash_aid = int(trie.alpha[ord("#")])
+
+        def fn(wm, wl):
+            return wp_match_encode(wm, wl, goto_dev, accept_dev, hash_aid)
+
+        from ..core.batching import sliced_rows
         with ctx:
-            out, out_n, unk, ovf = wp_match_encode(
-                jnp.asarray(wmat), jnp.asarray(wlen),
-                goto_dev, accept_dev,
-                int(trie.alpha[ord("#")]))
-        out = np.asarray(out)
-        out_n = np.asarray(out_n)
-        unk = np.asarray(unk)
+            out, out_n, unk, ovf = sliced_rows(
+                fn, (wmat, wlen), (trie.n_alpha, 0), wlen, 4)
         if bool(np.asarray(ovf).any()):
             raise RuntimeError(
                 "wp_match_encode overflow: vocabulary drives the greedy "

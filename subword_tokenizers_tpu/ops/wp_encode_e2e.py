@@ -232,65 +232,23 @@ def _wp_e2e_scan_impl(pchar, slen, goto_table, node_info, root_p,
     return out2d, st["ptr"], st["ovf"], stuck, st["crash"]
 
 
-# Row-count quanta for the sliced driver: shapes repeat across corpora so
-# compiled executables get reused (each new shape is a multi-minute XLA
-# compile through the remote tunnel).
-ROW_QUANTA = (1024, 2048, 4096, 8192)
-SLICE_ROWS = ROW_QUANTA[-1]
-
-
-def _quantize_rows(u: int) -> int:
-    for q in ROW_QUANTA:
-        if u <= q:
-            return q
-    return -(-u // SLICE_ROWS) * SLICE_ROWS
-
-
 def sliced_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
                     unk_id, sharp_seq, n_pops, n_alpha):
-    """Host driver: length-sorted sliced scan with async dispatch.
-
-    The while_loop runs in lockstep until every row of the batch is DONE,
-    so one monolithic batch costs ~(rows x longest-chunk) iterations.
-    Sorting rows by length and slicing into fixed-row batches makes each
-    slice's trip count its *own* max length (the loop condition is
-    dynamic), cutting total element-iterations to ~sum-of-lengths; the
-    slices dispatch back-to-back, so transfers of slice k+1 overlap the
-    device scan of slice k. Transfers use the u16 wire format when the
-    alphabet fits (it always does for real vocabularies).
-
-    Row padding (zero rows, slen = 0 -> DONE at init) goes at the FRONT of
-    the sorted order so it lands in the shortest — cheapest — slice.
-    Returns host (numpy) arrays in the caller's original row order.
+    """Host driver: length-sorted sliced scan (see core/batching.py) with
+    the u16 wire format when the alphabet fits 13 bits (it always does for
+    real vocabularies). Padding rows are zeros with slen = 0 — DONE at
+    init. Returns host arrays in the caller's original row order.
     """
-    import numpy as np
+    from ..core.batching import sliced_rows
 
-    U, T = pchar.shape
-    order = np.argsort(slen, kind="stable")
-    R = _quantize_rows(U)
-    pad = R - U
-    ps = np.zeros((R, T), dtype=pchar.dtype)
-    ls = np.zeros((R,), dtype=slen.dtype)
-    ps[pad:] = pchar[order]
-    ls[pad:] = slen[order]
-
-    u16 = n_alpha < (1 << 13)
-    if u16:
-        ps = pack_u16(ps)
-        fn = wp_e2e_scan_u16
+    if n_alpha < (1 << 13):
+        pchar = pack_u16(pchar)
+        base = wp_e2e_scan_u16
     else:
-        fn = wp_e2e_scan
+        base = wp_e2e_scan
 
-    sr = min(R, SLICE_ROWS)
-    parts = []
-    for k in range(R // sr):
-        sl = slice(k * sr, (k + 1) * sr)
-        parts.append(fn(jnp.asarray(ps[sl]), jnp.asarray(ls[sl]),
-                        goto_table, node_info, root_p, root_sharp,
-                        unk_id, sharp_seq, n_pops))
-    fetched = jax.device_get(parts)
-    cat = [np.concatenate([f[j] for f in fetched])[pad:]
-           for j in range(5)]
-    inv = np.empty(U, dtype=np.int64)
-    inv[order] = np.arange(U, dtype=np.int64)
-    return tuple(a[inv] for a in cat)
+    def fn(ps, ls):
+        return base(ps, ls, goto_table, node_info, root_p, root_sharp,
+                    unk_id, sharp_seq, n_pops)
+
+    return sliced_rows(fn, (pchar, slen), (0, 0), slen, 5)

@@ -172,15 +172,16 @@ def test_sliced_scan_matches_monolithic():
         max(trie.max_pops, 1))]
 
     # Force multiple tiny slices to cross slice boundaries.
-    old_q, old_s = e2e.ROW_QUANTA, e2e.SLICE_ROWS
+    from subword_tokenizers_tpu.core import batching
+    old_q, old_s = batching.ROW_QUANTA, batching.SLICE_ROWS
     try:
-        e2e.ROW_QUANTA, e2e.SLICE_ROWS = (16, 32), 32
+        batching.ROW_QUANTA, batching.SLICE_ROWS = (16, 32), 32
         got = e2e.sliced_e2e_scan(pchar, slen, goto_d, info_d,
                                   trie.root_p, trie.root_sharp,
                                   tok._unk_id, tuple(sharp),
                                   max(trie.max_pops, 1), trie.n_alpha)
     finally:
-        e2e.ROW_QUANTA, e2e.SLICE_ROWS = old_q, old_s
+        batching.ROW_QUANTA, batching.SLICE_ROWS = old_q, old_s
     for w, g in zip(want, got):
         assert np.array_equal(np.asarray(w), np.asarray(g))
 
