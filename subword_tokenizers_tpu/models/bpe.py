@@ -380,7 +380,10 @@ class NaiveBPE(SubwordTokenizer):
         table, dev_cache, max_probe = self._build_device_tables()
         max_len = max((len(w) for w in words), default=1)
         W = len(words)
-        sym = np.full((W, max(max_len, 2)), -1, dtype=np.int32)
+        # Width rounded to a multiple of 8 so compiled shapes repeat
+        # across corpora (extra columns are PAD).
+        Lq = -(-max(max_len, 2) // 8) * 8
+        sym = np.full((W, Lq), -1, dtype=np.int32)
         for i, w in enumerate(words):
             for j, ch in enumerate(w):
                 sid = table.get(ch)

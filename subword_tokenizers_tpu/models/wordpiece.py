@@ -340,7 +340,8 @@ class NaiveWP(SubwordTokenizer):
         trie, out_table = self._build_match_trie()
         W = len(words)
         wlen = np.fromiter((len(w) for w in words), dtype=np.int32, count=W)
-        L = max(2, int(wlen.max()) if W else 1)
+        # Width rounded to a multiple of 8 for compiled-shape reuse.
+        L = -(-max(2, int(wlen.max()) if W else 1) // 8) * 8
         flat = trie.alpha[codepoints("".join(words))]
         wmat = np.full((W, L), trie.n_alpha, dtype=np.int32)
         mask = np.arange(L, dtype=np.int32)[None, :] < wlen[:, None]

@@ -72,16 +72,26 @@ def pack_pairs(sym: jax.Array, narrow: bool) -> Tuple[jax.Array, jax.Array]:
     return keys.reshape(-1), pos
 
 
-def _run_aggregate(keys, pos, w, narrow: bool):
+def _run_aggregate(keys, pos, w, narrow: bool, w_by_pos: bool = False):
     """Sort pairs and aggregate runs of equal keys.
 
     Returns (k_s, p_s, run_total, is_cand) where for every element of the
     sorted order: ``run_total`` is the full weight of its run (valid at any
     element), ``p_s`` at a run's first element is the run's minimum scan
     position, and ``is_cand`` marks run starts of real (non-sentinel) keys.
+
+    ``w_by_pos=True`` declares that ``pos`` is the local flat index (an
+    arange), so the weights travel *around* the sort — a 2-operand sort
+    plus one gather instead of a 3-operand sort (sort cost scales with
+    total payload bytes). Sharded callers pass shard-offset positions and
+    must keep the default.
     """
     _, _, _, sentinel, vmax = _consts(narrow)
-    k_s, p_s, w_s = jax.lax.sort((keys, pos, w), num_keys=2)
+    if w_by_pos:
+        k_s, p_s = jax.lax.sort((keys, pos), num_keys=2)
+        w_s = w[p_s]
+    else:
+        k_s, p_s, w_s = jax.lax.sort((keys, pos, w), num_keys=2)
     one = jnp.ones((1,), dtype=bool)
     is_start = jnp.concatenate([one, k_s[1:] != k_s[:-1]])
     is_end = jnp.concatenate([is_start[1:], one])
@@ -122,7 +132,8 @@ def bpe_select(sym: jax.Array, freq: jax.Array, narrow: bool = False):
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
     w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
-    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
+    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow,
+                                                  w_by_pos=True)
     return _select(k_s, p_s, run_total, is_cand)
 
 
@@ -230,7 +241,8 @@ def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
     w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
-    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
+    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow,
+                                                  w_by_pos=True)
 
     flat = sym.reshape(-1)
     wsym = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L)).reshape(-1)

@@ -141,7 +141,8 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
         keys, pos = pack_pairs(sym, narrow)
         w = jnp.broadcast_to(freq.astype(dt)[:, None],
                              (n, L - 1)).reshape(-1)
-        k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
+        k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow,
+                                                      w_by_pos=True)
 
         sym_freq = None
         if wordpiece:
@@ -229,13 +230,14 @@ def _cand_cap(n_pairs: int):
 
     Distinct pairs measure ~9x fewer than positions on real corpora
     (train-5K: 187,885 flat positions, 21,864 max distinct pairs over
-    1,000 merges); a quarter of the positions is a comfortable bound, and
+    1,000 merges); an eighth of the positions bounds that with headroom
+    (the exact-double long division prices every candidate slot), and
     wp_select_core falls back to full-width scoring inside lax.cond if it
     ever overflows — the cap trades cost only, never correctness.
     """
     if n_pairs < 16384:
         return None
-    return -(-(n_pairs // 4) // 1024) * 1024
+    return max(-(-(n_pairs // 8) // 1024) * 1024, 16384)
 
 
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
