@@ -80,11 +80,10 @@ def _run_aggregate(keys, pos, w, narrow: bool, w_by_pos: bool = False):
     element), ``p_s`` at a run's first element is the run's minimum scan
     position, and ``is_cand`` marks run starts of real (non-sentinel) keys.
 
-    ``w_by_pos=True`` declares that ``pos`` is the local flat index (an
-    arange), so the weights travel *around* the sort — a 2-operand sort
-    plus one gather instead of a 3-operand sort (sort cost scales with
-    total payload bytes). Sharded callers pass shard-offset positions and
-    must keep the default.
+    ``w_by_pos=True`` routes the weights *around* the sort via a gather
+    by sorted position. Measured SLOWER on the TPU (a corpus-sized random
+    gather costs ~4x the extra sort operand — sorts are fast here,
+    scattered gathers are not); kept only as a documented dead end.
     """
     _, _, _, sentinel, vmax = _consts(narrow)
     if w_by_pos:
@@ -132,8 +131,7 @@ def bpe_select(sym: jax.Array, freq: jax.Array, narrow: bool = False):
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
     w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
-    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow,
-                                                  w_by_pos=True)
+    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
     return _select(k_s, p_s, run_total, is_cand)
 
 
@@ -241,8 +239,7 @@ def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
     w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
-    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow,
-                                                  w_by_pos=True)
+    k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
     flat = sym.reshape(-1)
     wsym = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L)).reshape(-1)

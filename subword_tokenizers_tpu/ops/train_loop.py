@@ -141,8 +141,7 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
         keys, pos = pack_pairs(sym, narrow)
         w = jnp.broadcast_to(freq.astype(dt)[:, None],
                              (n, L - 1)).reshape(-1)
-        k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow,
-                                                      w_by_pos=True)
+        k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
         sym_freq = None
         if wordpiece:
