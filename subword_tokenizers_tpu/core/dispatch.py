@@ -13,8 +13,15 @@ The reference has no analogue (it is host-only, source/benchmarks.py
 measures exactly this regime); this is the standard small-batch fallback
 of accelerator serving stacks.
 
-Environment override: ``SWT_CPU_DISPATCH_SLOTS`` (default ``1 << 19``
-char-slots; ``0`` pins every batch to the default backend).
+Measured threshold (v5e behind the axon remote-dispatch link, r2): the
+TPU scan costs ~49 ms per 8192-row slice vs ~18 ms on the host CPU
+backend, with no crossover observed up to ~1M char-slots — the automaton
+is gather/latency-bound with zero MXU work, exactly the op class this
+host's many cores win. The default threshold therefore routes all
+realistic encode batches to the host executor; training (sort-dominated)
+stays on the TPU, where it beats the host by ~5x and the reference by
+~60x. Raise/lower via ``SWT_CPU_DISPATCH_SLOTS`` (char-slots; ``0`` pins
+every batch to the default backend).
 """
 from __future__ import annotations
 
@@ -22,7 +29,7 @@ import os
 from typing import Optional
 
 CPU_DISPATCH_SLOTS = int(os.environ.get("SWT_CPU_DISPATCH_SLOTS",
-                                        str(1 << 19)))
+                                        str(1 << 22)))
 
 
 def scan_device(n_slots: int, mesh=None, threshold: Optional[int] = None):

@@ -147,24 +147,22 @@ def compact_cands(k_s, p_s, run_total, is_cand, cap: int, narrow: bool):
     callers MUST fall back to the full-width arrays.
     """
     _, _, _, sentinel, vmax = _consts(narrow)
-    n = k_s.shape[0]
-    # Index compaction WITHOUT jnp.nonzero: under x64 its internal cumsum
-    # runs in int64, which this TPU emulates as a (u32,u32)-tuple
-    # reduce-window whose scoped-VMEM footprint blows the 16 MB limit at
-    # corpus sizes (seen as a compile-time OOM). All-i32 instead: rank the
-    # candidates with an i32 cumsum and scatter their positions (each rank
-    # < cap receives exactly one source index; non-candidates and
-    # overflow ranks land in the dump slot that the slice drops).
-    rank = jnp.cumsum(is_cand.astype(jnp.int32)) - 1
-    ovf = (rank[-1] + 1 > cap) if n > 0 else jnp.bool_(False)
-    tgt = jnp.where(is_cand & (rank < cap), rank, cap)
-    src = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.full(cap + 1, n, jnp.int32).at[tgt].min(src)[:cap]
-    valid = idx < n
-    safe = jnp.minimum(idx, n - 1)
-    ck = jnp.where(valid, k_s[safe], sentinel)
-    cp = jnp.where(valid, p_s[safe], vmax)
-    cc = jnp.where(valid, run_total[safe], 0)
+    # Compaction by one more multi-operand sort: candidates float to the
+    # front, then a static slice takes the first ``cap``. Sorts are fast
+    # on this TPU; the two alternatives both lose — jnp.nonzero hides an
+    # int64 cumsum (emulated as a (u32,u32) reduce-window that fails to
+    # compile at corpus sizes: scoped-VMEM OOM), and an i32 cumsum +
+    # corpus-sized scatter prices the scatter (random-access writes are
+    # the slowest op class here).
+    flag = jnp.where(is_cand, jnp.int32(0), jnp.int32(1))
+    _, ks, ps, cs = jax.lax.sort((flag, k_s, p_s, run_total), num_keys=1,
+                                 is_stable=True)
+    ncand = jnp.sum(is_cand.astype(jnp.int32))
+    valid = jnp.arange(cap, dtype=jnp.int32) < ncand
+    ck = jnp.where(valid, ks[:cap], sentinel)
+    cp = jnp.where(valid, ps[:cap], vmax)
+    cc = jnp.where(valid, cs[:cap], 0)
+    ovf = ncand > cap
     return ck, cp, cc, valid, ovf
 
 
