@@ -218,17 +218,20 @@ def main():
         measure(sys.argv[sys.argv.index("--measure") + 1])
         return
     with tempfile.TemporaryDirectory() as td:
+        # Both executors measure every metric (each conformance-gated);
+        # the best wins per metric. Training wins on the TPU (~70x the
+        # reference); the encode scan is latency-bound and wins on the
+        # host cores — and the default (axon) process AOT-compiles even
+        # its CPU executables with mismatched machine features, so the
+        # pure-CPU child is the honest host number.
         tpu_res = _run_child("default", TPU_TIMEOUT_S,
                              os.path.join(td, "tpu.jsonl"))
+        cpu_res = _run_child("cpu", CPU_TIMEOUT_S,
+                             os.path.join(td, "cpu.jsonl"))
         results = dict(tpu_res)
-        missing = [m for m in ORDER if m not in results]
-        if missing:
-            log(f"[bench] falling back to CPU jax for {missing}")
-            cpu_res = _run_child("cpu", CPU_TIMEOUT_S,
-                                 os.path.join(td, "cpu.jsonl"))
-            for m in missing:
-                if m in cpu_res:
-                    results[m] = cpu_res[m]
+        for m, rec in cpu_res.items():
+            if m not in results or rec["value"] > results[m]["value"]:
+                results[m] = rec
     if "fastwp_encode_MBps" not in results:
         raise SystemExit("benchmark failed on every backend")
     for m in ORDER:
