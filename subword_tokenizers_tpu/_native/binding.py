@@ -89,8 +89,8 @@ def _load() -> ctypes.CDLL:
     # swt_stitch builds Python objects: PYFUNCTYPE keeps the GIL held.
     global _stitch_fn
     _stitch_fn = ctypes.PYFUNCTYPE(
-        ctypes.py_object, ctypes.py_object, i32p, i32p, i64, i64, i32p,
-        i64p, i64)(("swt_stitch", lib))
+        ctypes.py_object, ctypes.py_object, ctypes.py_object, i32p, i32p,
+        i64, i64, i32p, i64p, i64)(("swt_stitch", lib))
     from ..frontend.charclass import PUNCT_HF, WS_HF, WS_PY
     _packed_ws = np.ascontiguousarray(np.packbits(WS_HF))
     _packed_punct = np.ascontiguousarray(np.packbits(PUNCT_HF))
@@ -164,12 +164,15 @@ def unique_spans(cps: np.ndarray, starts: np.ndarray, ends: np.ndarray):
 
 
 def stitch(strings: list, out_ids: np.ndarray, out_n: np.ndarray,
-           inverse: np.ndarray, bounds: np.ndarray) -> list:
+           inverse: np.ndarray, bounds: np.ndarray,
+           alt: Optional[list] = None) -> list:
     """Token-id matrix -> list-of-list-of-str in one native pass.
 
     ``strings``: id -> token string; ``out_ids`` i32[U, W] with
     ``out_n`` i32[U] valid counts; ``inverse`` i32[C] chunk -> unique row;
-    ``bounds`` i64[S+1] chunk ranges per sentence.
+    ``bounds`` i64[S+1] chunk ranges per sentence. ``alt``: optional
+    same-length string list used for token positions > 0 within a row
+    (BPE '##'-continuation rendering).
     """
     _load()
     out_ids = np.ascontiguousarray(out_ids, dtype=np.int32)
@@ -177,7 +180,7 @@ def stitch(strings: list, out_ids: np.ndarray, out_n: np.ndarray,
     inverse = np.ascontiguousarray(inverse, dtype=np.int32)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
     U, W = out_ids.shape
-    return _stitch_fn(strings, _ptr(out_ids, ctypes.c_int32),
+    return _stitch_fn(strings, alt, _ptr(out_ids, ctypes.c_int32),
                       _ptr(out_n, ctypes.c_int32), U, W,
                       _ptr(inverse, ctypes.c_int32),
                       _ptr(bounds, ctypes.c_int64), bounds.shape[0] - 1)

@@ -17,11 +17,15 @@
 extern "C" {
 
 // strs: Python list of str, id -> token string (interned once per model).
+// alt_strs: Py_None, or a same-length list used for token positions > 0
+// within a row (the BPE '##'-continuation rendering, reference
+// source/bpe.py:129-131 — prefixing depends on the position in the word,
+// not on the token id).
 // out[U, W] token ids per unique chunk row; out_n[U] valid counts.
 // inverse[C]: chunk occurrence -> unique row.  bounds[S+1]: chunk ranges
 // per sentence.  Returns: list of S lists of str (new reference), or
 // NULL with an exception set.
-PyObject* swt_stitch(PyObject* strs, const int32_t* out,
+PyObject* swt_stitch(PyObject* strs, PyObject* alt_strs, const int32_t* out,
                      const int32_t* out_n, int64_t U, int64_t W,
                      const int32_t* inverse, const int64_t* bounds,
                      int64_t S) {
@@ -30,6 +34,13 @@ PyObject* swt_stitch(PyObject* strs, const int32_t* out,
     return nullptr;
   }
   const Py_ssize_t n_strs = PyList_GET_SIZE(strs);
+  const bool has_alt = alt_strs != Py_None;
+  if (has_alt && (!PyList_Check(alt_strs)
+                  || PyList_GET_SIZE(alt_strs) != n_strs)) {
+    PyErr_SetString(PyExc_TypeError,
+                    "alt_strs must be None or a list of len(strs)");
+    return nullptr;
+  }
 
   PyObject* result = PyList_New(S);
   if (result == nullptr) return nullptr;
@@ -58,7 +69,8 @@ PyObject* swt_stitch(PyObject* strs, const int32_t* out,
                        "token id %d out of range [0, %zd)", id, n_strs);
           return nullptr;
         }
-        PyObject* tok = PyList_GET_ITEM(strs, id);  // borrowed
+        PyObject* src = (has_alt && j > 0) ? alt_strs : strs;
+        PyObject* tok = PyList_GET_ITEM(src, id);   // borrowed
         Py_INCREF(tok);
         PyList_SET_ITEM(row, k++, tok);             // steals
       }

@@ -68,6 +68,7 @@ class NaiveBPE(SubwordTokenizer):
         self.corpus_as_symbols: List[Tuple[List[str], int]] = []
         self._encode_cache: Dict[str, List[str]] = {}
         self._device_tables = None
+        self._alt_cache = None
         self._host_ranks: Optional[Dict[Tuple[str, str], int]] = None
         self._has_dups: Optional[bool] = None
         self._checkpoint_dir: Optional[str] = None
@@ -366,17 +367,21 @@ class NaiveBPE(SubwordTokenizer):
 
     _MONOTONE = True
 
-    def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
-        """Encode unique words as one batched device call."""
+    def _encode_unique_raw(self, words: List[str]):
+        """Encode unique words to a token-id matrix in one batched call.
+
+        Returns (merged i32[W, L], out_n i32[W], table), or None when
+        this vocabulary needs the exact host fallback (duplicate merge
+        pairs, where dict-rank overwrite semantics apply)."""
         import contextlib
 
         import jax
-        import jax.numpy as jnp
+        from ..core.batching import sliced_rows
         from ..core.dispatch import scan_device
         from ..ops.bpe_encode import bpe_encode
 
         if self._has_duplicate_merges():
-            return [self.encode_word(w) for w in words]
+            return None
         table, dev_cache, max_probe = self._build_device_tables()
         max_len = max((len(w) for w in words), default=1)
         W = len(words)
@@ -402,13 +407,20 @@ class NaiveBPE(SubwordTokenizer):
             return (bpe_encode(s, hkeys, hrank, hout, self._MONOTONE,
                                max_probe),)
 
-        from ..core.batching import sliced_rows
         with ctx:
             (merged,) = sliced_rows(fn, (sym,), (-1,), wlen, 1)
+        out_n = np.count_nonzero(merged >= 0, axis=1).astype(np.int32)
+        return merged, out_n, table
+
+    def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
+        """Encode unique words as one batched device call (string rows)."""
+        raw = self._encode_unique_raw(words)
+        if raw is None:
+            return [self.encode_word(w) for w in words]
+        merged, out_n, table = raw
         results: List[List[str]] = []
-        for i, w in enumerate(words):
-            ids = [int(s) for s in merged[i] if s >= 0]
-            toks = [table.string(s) for s in ids]
+        for i in range(len(words)):
+            toks = [table.string(int(s)) for s in merged[i, :out_n[i]]]
             if not toks and not self._MONOTONE:
                 toks = [""]
             if len(toks) > 1:
@@ -416,14 +428,45 @@ class NaiveBPE(SubwordTokenizer):
             results.append(toks)
         return results
 
+    def _alt_strings(self, table) -> List[str]:
+        """'##'-prefixed rendering per id (continuation positions;
+        reference source/bpe.py:129-131), cached per table state."""
+        key = (id(table), len(table))
+        if self._alt_cache is None or self._alt_cache[0] != key:
+            self._alt_cache = (key, ["##" + s for s in table.strings()])
+        return self._alt_cache[1]
+
     def tokenize_batch(self, corpus: List[str]) -> List[List[str]]:
         """Tokenize a corpus through the batched device encoder; output is
         identical to per-sentence `tokenize` but every unique word is
-        encoded exactly once, on device."""
+        encoded exactly once, on device, and the per-sentence token lists
+        are assembled by the native stitch."""
         wb = self.preprocessing_batch(corpus)
         words, _, inverse = unique_words(wb)
+        S = len(corpus)
+        binding = None
+        try:
+            from .._native import binding as _b
+            _b._load()
+            binding = _b
+        except Exception:
+            binding = None
+        if binding is not None:
+            raw = self._encode_unique_raw(words)
+            # Empty rows render as [""] on the FastBPE path (reference
+            # source/bpe.py:207-208) — unreachable from the front end
+            # (words are non-empty) but routed to the host assembly for
+            # exactness.
+            if raw is not None and (self._MONOTONE
+                                    or not (raw[1] == 0).any()):
+                merged, out_n, table = raw
+                bounds = np.searchsorted(
+                    wb.sent_id, np.arange(S + 1)).astype(np.int64)
+                return binding.stitch(table.strings(), merged, out_n,
+                                      inverse.astype(np.int32), bounds,
+                                      alt=self._alt_strings(table))
         encoded = self._encode_unique_device(words)
-        out: List[List[str]] = [[] for _ in range(len(corpus))]
+        out: List[List[str]] = [[] for _ in range(S)]
         for occ in range(wb.n_words):
             out[int(wb.sent_id[occ])].extend(encoded[inverse[occ]])
         return out
@@ -437,6 +480,7 @@ class NaiveBPE(SubwordTokenizer):
         self.corpus_as_symbols.clear()
         self._encode_cache = {}
         self._device_tables = None
+        self._alt_cache = None
         self._host_ranks = None
         self._has_dups = None
 
@@ -463,6 +507,7 @@ class NaiveBPE(SubwordTokenizer):
                 self.merges_list = [tuple(pair) for pair in json.load(f)]
             self._encode_cache = {}
             self._device_tables = None
+            self._alt_cache = None
             self._host_ranks = None
             self._has_dups = None
         elif strict:

@@ -329,11 +329,16 @@ class NaiveWP(SubwordTokenizer):
                 lambda: (trie.goto, trie.accept))
         return self._match_trie, self._match_out
 
-    def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
+    def _encode_unique_raw(self, words: List[str]):
+        """Batched greedy longest-match to a token-id matrix.
+
+        Returns (out i32[W, CAP], out_n i32[W], out_table) — UNK rows are
+        already substituted (single token id 0 == UNK). Raises the
+        reference-hang guard on overflow."""
         import contextlib
 
         import jax
-        import jax.numpy as jnp
+        from ..core.batching import sliced_rows
         from ..core.dispatch import scan_device
         from ..ops.wp_encode import wp_match_encode
 
@@ -355,7 +360,6 @@ class NaiveWP(SubwordTokenizer):
         def fn(wm, wl):
             return wp_match_encode(wm, wl, goto_dev, accept_dev, hash_aid)
 
-        from ..core.batching import sliced_rows
         with ctx:
             out, out_n, unk, ovf = sliced_rows(
                 fn, (wmat, wlen), (trie.n_alpha, 0), wlen, 4)
@@ -364,24 +368,41 @@ class NaiveWP(SubwordTokenizer):
                 "wp_match_encode overflow: vocabulary drives the greedy "
                 "matcher into unbounded '#' growth (the reference would "
                 "not terminate on this input)")
-        results: List[List[str]] = []
-        for i in range(W):
-            if unk[i]:
-                results.append([UNK])
-            else:
-                results.append([out_table.string(int(t))
-                                for t in out[i, :out_n[i]]])
-        return results
+        unk = np.asarray(unk)
+        out = np.ascontiguousarray(out)
+        out_n = np.asarray(out_n).copy()
+        if unk.any():
+            out[unk, 0] = 0  # UNK interned first in _build_match_trie
+            out_n[unk] = 1
+        return out, out_n, out_table
+
+    def _encode_unique_device(self, words: List[str]) -> List[List[str]]:
+        out, out_n, out_table = self._encode_unique_raw(words)
+        return [[out_table.string(int(t)) for t in out[i, :out_n[i]]]
+                for i in range(len(words))]
 
     def tokenize_batch(self, corpus: List[str]) -> List[List[str]]:
-        """Corpus tokenization through the batched device encoder."""
+        """Corpus tokenization through the batched device encoder; the
+        per-sentence token lists are assembled by the native stitch."""
         wb = self.preprocessing_batch(corpus)
         words, _, inverse = unique_words(wb)
+        S = len(corpus)
+        try:
+            from .._native import binding
+            binding._load()
+        except Exception:
+            binding = None
+        if binding is not None:
+            out, out_n, out_table = self._encode_unique_raw(words)
+            bounds = np.searchsorted(
+                wb.sent_id, np.arange(S + 1)).astype(np.int64)
+            return binding.stitch(out_table.strings(), out, out_n,
+                                  inverse.astype(np.int32), bounds)
         encoded = self._encode_unique_device(words)
-        out: List[List[str]] = [[] for _ in range(len(corpus))]
+        out2: List[List[str]] = [[] for _ in range(S)]
         for occ in range(wb.n_words):
-            out[int(wb.sent_id[occ])].extend(encoded[inverse[occ]])
-        return out
+            out2[int(wb.sent_id[occ])].extend(encoded[inverse[occ]])
+        return out2
 
     # ------------------------------------------------------------- state io
 
