@@ -64,3 +64,30 @@ def test_dispatched_encode_bit_exact(monkeypatch, model, pan_tadeusz,
     assert dispatch.scan_device(100) is not None  # routing active
     out = tok.tokenize_batch(corpus)
     assert out == golden
+
+
+def test_tokenize_batch_fallback_assembly(monkeypatch, pan_tadeusz,
+                                          pan_tadeusz_golden):
+    """With the native toolchain unavailable, the Python assembly path
+    must produce the same output as the native stitch path."""
+    from subword_tokenizers_tpu import NaiveBPE, NaiveWP
+    from subword_tokenizers_tpu._native import binding
+    from subword_tokenizers_tpu.frontend import pretokenize
+
+    def boom():
+        raise RuntimeError("native disabled for test")
+
+    corpus = pan_tadeusz[:30]
+    for cls, name in ((NaiveBPE, "NaiveBPE"), (NaiveWP, "NaiveWordPiece")):
+        tok = cls()
+        tok.load_resources(
+            f"/root/reference/resources/pretrained/{name}")
+        want = pan_tadeusz_golden[name][:30]
+        assert tok.tokenize_batch(corpus) == want
+        # Simulate a toolchain-less host: every native entry point gone,
+        # including the front end's cached probe.
+        monkeypatch.setattr(binding, "_load", boom)
+        monkeypatch.setattr(pretokenize, "_native_checked", True)
+        monkeypatch.setattr(pretokenize, "_native_split", None)
+        assert tok.tokenize_batch(corpus) == want
+        monkeypatch.undo()
