@@ -34,10 +34,13 @@ def _load():
         punct_hf = np.unpackbits(z["punct_hf"])[:n].astype(bool)
         ws_py = np.unpackbits(z["ws_py"])[:n].astype(bool)
         alnum_py = np.unpackbits(z["alnum_py"])[:n].astype(bool)
-    return ws_hf, punct_hf, ws_py, alnum_py
+        lower = (z["lower_delta"].astype(np.int32)
+                 + np.arange(n, dtype=np.int32)).astype(np.uint32)
+        lower_special = np.unpackbits(z["lower_special"])[:n].astype(bool)
+    return ws_hf, punct_hf, ws_py, alnum_py, lower, lower_special
 
 
-WS_HF, PUNCT_HF, WS_PY, ALNUM_PY = _load()
+WS_HF, PUNCT_HF, WS_PY, ALNUM_PY, LOWER, LOWER_SPECIAL = _load()
 
 # FastWP's `ispunc` = not alnum and not space (Python semantics),
 # reference: source/wordpiece.py:287-288.
@@ -51,3 +54,19 @@ def codepoints(text: str) -> np.ndarray:
 
 def to_text(cps: np.ndarray) -> str:
     return cps.astype("<u4").tobytes().decode("utf-32-le")
+
+
+def lower_codepoints(text: str):
+    """Vectorized ``str.lower()`` over the codepoint array.
+
+    Returns the lowered uint32 array (same length — the mapping is 1:1),
+    or None when ``text`` contains a case special the LUT cannot express:
+    U+0130 (lowers to two codepoints) or U+03A3 (CPython applies the
+    Final_Sigma context rule). Callers fall back to ``str.lower()`` then
+    — exhaustively verified equal for every other codepoint
+    (tools/gen_unicode_tables.py, tests/test_frontend.py).
+    """
+    cps = codepoints(text)
+    if cps.size and LOWER_SPECIAL[cps].any():
+        return None
+    return LOWER[cps]

@@ -165,12 +165,20 @@ class WordBatch:
 
 def pretokenize_batch(corpus: Sequence[str]) -> WordBatch:
     """Lower + pre-split a whole corpus into the flat array representation."""
-    lowered = [s.lower() for s in corpus]
-    joined = "".join(lowered)
-    cps = codepoints(joined)
-    sent_lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
-                            count=len(lowered))
-    sent_cp_off = np.zeros(len(lowered) + 1, dtype=np.int64)
+    from .charclass import lower_codepoints
+    cps = lower_codepoints("".join(corpus))
+    if cps is not None:
+        # Vectorized lower: 1:1 mapping, so raw lengths are the lowered
+        # lengths.
+        sent_lens = np.fromiter((len(s) for s in corpus), dtype=np.int64,
+                                count=len(corpus))
+    else:
+        # Case special present (U+0130 / final sigma): exact Python path.
+        lowered = [s.lower() for s in corpus]
+        cps = codepoints("".join(lowered))
+        sent_lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
+                                count=len(lowered))
+    sent_cp_off = np.zeros(len(corpus) + 1, dtype=np.int64)
     np.cumsum(sent_lens, out=sent_cp_off[1:])
 
     native = _get_native_split()
@@ -181,7 +189,7 @@ def pretokenize_batch(corpus: Sequence[str]) -> WordBatch:
                          sent_id=sent_id, sent_cp_off=sent_cp_off)
 
     starts_l, ends_l, sids_l = [], [], []
-    for sid in range(len(lowered)):
+    for sid in range(len(corpus)):
         s0, s1 = sent_cp_off[sid], sent_cp_off[sid + 1]
         st, en = split_bounds(cps[s0:s1])
         if len(st):

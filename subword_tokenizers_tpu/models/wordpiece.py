@@ -731,14 +731,20 @@ class FastWP(NaiveWP):
             return out
 
         S = len(corpus)
-        lowered = [s.lower() for s in corpus]
-        joined = " ".join(lowered)
-        flat = codepoints(joined)
+        from ..frontend.charclass import lower_codepoints
+        flat = lower_codepoints(" ".join(corpus))
+        if flat is not None:
+            lens = np.fromiter((len(s) for s in corpus), dtype=np.int64,
+                               count=S)
+        else:
+            # Case special (U+0130 / final sigma): exact Python lower.
+            lowered = [s.lower() for s in corpus]
+            flat = codepoints(" ".join(lowered))
+            lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
+                               count=S)
         if flat.size == 0:
             return [[] for _ in range(S)]
         sent_start = np.zeros(S, dtype=np.int64)
-        lens = np.fromiter((len(s) for s in lowered), dtype=np.int64,
-                           count=S)
         np.cumsum(lens[:-1] + 1, out=sent_start[1:])
 
         native = None

@@ -80,3 +80,43 @@ def test_foreign_frontend_injection(pan_tadeusz, pan_tadeusz_golden):
         golden = pan_tadeusz_golden[key][:60]
         assert [tok.tokenize(s) for s in sub] == golden
         assert tok.tokenize_batch(sub) == golden
+
+
+def test_vectorized_lower_exact():
+    """LUT lower == str.lower() for LUT-eligible text; specials (U+0130,
+    final sigma) force the exact fallback and must round-trip through the
+    batch front end identically."""
+    import numpy as np
+    from subword_tokenizers_tpu.frontend.charclass import (LOWER,
+                                                           LOWER_SPECIAL,
+                                                           lower_codepoints,
+                                                           to_text)
+    from subword_tokenizers_tpu.frontend.pretokenize import \
+        pretokenize_batch
+
+    # Exhaustive over the BMP + spot planes: LUT equals str.lower() for
+    # every non-special codepoint.
+    cps = np.arange(0x110000, dtype=np.uint32)
+    ok = ~LOWER_SPECIAL
+    # surrogates cannot travel through utf-32 (codepoints() rejects them
+    # upstream too) — excluded from the exhaustive sweep
+    ok[0xD800:0xE000] = False
+    # build in chunks to keep memory sane
+    for lo in range(0, 0x110000, 0x20000):
+        hi = min(lo + 0x20000, 0x110000)
+        seg = cps[lo:hi][ok[lo:hi]]
+        want = "".join(chr(c) for c in seg).lower()
+        got = to_text(LOWER[seg])
+        assert got == want, f"LUT lower diverges in [{lo:#x}, {hi:#x})"
+
+    assert lower_codepoints("İstanbul") is None
+    assert lower_codepoints("ΑΣ") is None
+    got = lower_codepoints("Litwo! OJCZYZNO")
+    assert got is not None and to_text(got) == "litwo! ojczyzno"
+
+    # Batch front end: specials route through the exact path.
+    corpus = ["İstanbul ΑΣ test", "Zwykłe ZDANIE", "ΣΑΛΑΤΑ ΑΣ"]
+    wb = pretokenize_batch(corpus)
+    lowered = [s.lower() for s in corpus]
+    txt = to_text(wb.cps)
+    assert txt == "".join(lowered)

@@ -16,6 +16,15 @@ Four packed bitmaps over the full codepoint space [0, 0x110000):
 - ``ws_py``     : Python ``str.isspace``  (FastWP scanner semantics).
 - ``alnum_py``  : Python ``str.isalnum``  (FastWP scanner semantics).
 
+Plus the case tables for a vectorized ``str.lower()``:
+
+- ``lower``     : i32 1:1 lowercase mapping (identity where unchanged).
+- ``lower_special``: mask of the two codepoints a LUT cannot handle —
+  U+0130 (lowers to 2 codepoints) and U+03A3 (CPython applies the
+  Final_Sigma context rule) — callers fall back to ``str.lower()`` when
+  present (verified exhaustively: every other codepoint lowers 1:1 and
+  context-free in CPython).
+
 These are *generated from this environment's* unicodedata / str methods, so
 they are exact by construction for the Python classes; the HF classes are
 validated empirically against the installed `tokenizers` crate by the test
@@ -55,6 +64,8 @@ def main(out_path: str) -> None:
 
     ws_py = np.zeros(N, dtype=bool)
     alnum_py = np.zeros(N, dtype=bool)
+    lower = np.arange(N, dtype=np.int32)
+    lower_special = np.zeros(N, dtype=bool)
 
     for cp in range(N):
         c = chr(cp)
@@ -64,6 +75,12 @@ def main(out_path: str) -> None:
             ws_py[cp] = True
         if c.isalnum():
             alnum_py[cp] = True
+        low = c.lower()
+        if len(low) != 1:
+            lower_special[cp] = True
+        else:
+            lower[cp] = ord(low)
+    lower_special[0x03A3] = True  # Final_Sigma context rule
 
     np.savez_compressed(
         out_path,
@@ -71,10 +88,14 @@ def main(out_path: str) -> None:
         punct_hf=np.packbits(punct_hf),
         ws_py=np.packbits(ws_py),
         alnum_py=np.packbits(alnum_py),
+        lower_delta=(lower - np.arange(N, dtype=np.int32)),
+        lower_special=np.packbits(lower_special),
         n_codepoints=np.int64(N),
     )
     print(f"wrote {out_path}: ws_hf={ws_hf.sum()} punct_hf={punct_hf.sum()} "
-          f"ws_py={ws_py.sum()} alnum_py={alnum_py.sum()}")
+          f"ws_py={ws_py.sum()} alnum_py={alnum_py.sum()} "
+          f"lower_changed={(lower != np.arange(N, dtype=np.int32)).sum()} "
+          f"lower_special={lower_special.sum()}")
 
 
 if __name__ == "__main__":
