@@ -21,6 +21,10 @@ from typing import Callable, Sequence
 
 ROW_QUANTA = (1024, 2048, 4096, 8192)
 SLICE_ROWS = ROW_QUANTA[-1]
+# Slices per batch (upper bound): finer slices track the length
+# distribution more closely (a batch that fits one slice gets no
+# length-homogeneity benefit at all), at ~one extra dispatch each.
+MAX_SLICES = 8
 
 
 def quantize_rows(u: int) -> int:
@@ -28,6 +32,10 @@ def quantize_rows(u: int) -> int:
         if u <= q:
             return q
     return -(-u // SLICE_ROWS) * SLICE_ROWS
+
+
+def slice_rows_for(total: int) -> int:
+    return min(max(ROW_QUANTA[0], total // MAX_SLICES), SLICE_ROWS)
 
 
 def sliced_rows(fn: Callable, arrays: Sequence, pad_values: Sequence,
@@ -49,7 +57,7 @@ def sliced_rows(fn: Callable, arrays: Sequence, pad_values: Sequence,
         out = np.full((R,) + arr.shape[1:], pv, dtype=arr.dtype)
         out[pad:] = arr[order]
         padded.append(out)
-    sr = min(R, SLICE_ROWS)
+    sr = min(R, slice_rows_for(R))
     parts = []
     for k in range(R // sr):
         sl = slice(k * sr, (k + 1) * sr)

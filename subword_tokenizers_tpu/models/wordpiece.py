@@ -589,7 +589,6 @@ class FastWP(NaiveWP):
         import contextlib
 
         import jax
-        import jax.numpy as jnp
         from ..ops.wp_encode_e2e import pack_chars, pack_node_info
 
         trie, out_table = self._trie()
