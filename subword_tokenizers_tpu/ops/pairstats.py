@@ -24,6 +24,13 @@ Two key widths share the code: the **i32 fast path** packs pairs as
 faster), and the i64 path packs ``a << 21 | b`` for larger vocabularies.
 The trainers choose once per run from static bounds. No floating point
 touches the conformance path.
+
+Known TPU limitation of the wide (i64) path: ``jnp.cumsum`` over i64 is
+emulated as a (u32,u32)-tuple reduce-window whose scoped-VMEM footprint
+can fail to *compile* at large corpus sizes (the same mechanism as the
+jnp.nonzero hazard documented at :func:`compact_cands`). Vocabularies
+< 2^16 (the narrow path — including the 32k north-star config) are
+unaffected; 2^16+-vocab training runs on the CPU backend.
 """
 from __future__ import annotations
 
