@@ -19,14 +19,19 @@ import numpy as np
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "pretok.cpp"),
          os.path.join(_DIR, "chunker.cpp"),
-         os.path.join(_DIR, "stitch.cpp")]
+         os.path.join(_DIR, "stitch.cpp"),
+         os.path.join(_DIR, "encode_prep.cpp")]
 _BUILD_DIR = os.path.join(_DIR, "build")
 
 _lib: Optional[ctypes.CDLL] = None
 _packed_ws = None
 _packed_punct = None
 _packed_ws_py = None
+_packed_punc_py = None
+_packed_lower_special = None
+_lower_table = None
 _stitch_fn = None
+_prep_fn = None
 
 
 def _so_path() -> str:
@@ -87,14 +92,26 @@ def _load() -> ctypes.CDLL:
     lib.swt_unique_spans.restype = i64
     lib.swt_unique_spans.argtypes = [u32p, i64p, i64p, i64, i32p, i64p]
     # swt_stitch builds Python objects: PYFUNCTYPE keeps the GIL held.
-    global _stitch_fn
+    global _stitch_fn, _prep_fn
     _stitch_fn = ctypes.PYFUNCTYPE(
         ctypes.py_object, ctypes.py_object, ctypes.py_object, i32p, i32p,
         i64, i64, i32p, i64p, i64)(("swt_stitch", lib))
-    from ..frontend.charclass import PUNCT_HF, WS_HF, WS_PY
+    # swt_encode_prep reads PyUnicode data: GIL must stay held too.
+    _prep_fn = ctypes.PYFUNCTYPE(
+        i64, ctypes.py_object, u32p, u8p, u8p, i32p, i64p, u32p, i32p,
+        i64p)(("swt_encode_prep", lib))
+    lib.swt_pack_u16.restype = None
+    lib.swt_pack_u16.argtypes = [u32p, i64p, i32p, i64, i64, i32p, u8p,
+                                 u8p, ctypes.POINTER(ctypes.c_uint16)]
+    from ..frontend.charclass import (LOWER, LOWER_SPECIAL, PUNC_PY,
+                                      PUNCT_HF, WS_HF, WS_PY)
+    global _packed_punc_py, _packed_lower_special, _lower_table
     _packed_ws = np.ascontiguousarray(np.packbits(WS_HF))
     _packed_punct = np.ascontiguousarray(np.packbits(PUNCT_HF))
     _packed_ws_py = np.ascontiguousarray(np.packbits(WS_PY))
+    _packed_punc_py = np.ascontiguousarray(np.packbits(PUNC_PY))
+    _packed_lower_special = np.ascontiguousarray(np.packbits(LOWER_SPECIAL))
+    _lower_table = np.ascontiguousarray(LOWER, dtype=np.uint32)
     _lib = lib
     return lib
 
@@ -184,6 +201,62 @@ def stitch(strings: list, out_ids: np.ndarray, out_n: np.ndarray,
                       _ptr(out_n, ctypes.c_int32), U, W,
                       _ptr(inverse, ctypes.c_int32),
                       _ptr(bounds, ctypes.c_int64), bounds.shape[0] - 1)
+
+
+def encode_prep(sents: list):
+    """Fused front end: str list -> lowered unique chunks + stitch metadata.
+
+    One native pass replacing lower/join/codepoints/chunk_unique/
+    searchsorted. Returns (inverse i32[C], bounds i64[S+1],
+    uniq_buf u32[total], uniq_off i64[U+1], uniq_len i32[U]) — or None
+    when a LOWER_SPECIAL codepoint (U+0130 / U+03A3) requires the exact
+    Python ``str.lower()`` fallback path.
+    """
+    _load()
+    total = sum(map(len, sents))
+    S = len(sents)
+    cap_chunks = (total + S) // 2 + 2
+    inverse = np.empty(cap_chunks, dtype=np.int32)
+    bounds = np.empty(S + 1, dtype=np.int64)
+    uniq_buf = np.empty(max(total, 1), dtype=np.uint32)
+    uniq_len = np.empty(cap_chunks, dtype=np.int32)
+    n_chunks = np.zeros(1, dtype=np.int64)
+    u = _prep_fn(sents, _ptr(_lower_table, ctypes.c_uint32),
+                 _ptr(_packed_lower_special, ctypes.c_uint8),
+                 _ptr(_packed_ws_py, ctypes.c_uint8),
+                 _ptr(inverse, ctypes.c_int32),
+                 _ptr(bounds, ctypes.c_int64),
+                 _ptr(uniq_buf, ctypes.c_uint32),
+                 _ptr(uniq_len, ctypes.c_int32),
+                 _ptr(n_chunks, ctypes.c_int64))
+    if u == -1:
+        return None
+    if u == -2:
+        raise TypeError("encode_prep expects a list of str")
+    c = int(n_chunks[0])
+    uniq_len = uniq_len[:u]
+    uniq_off = np.zeros(u + 1, dtype=np.int64)
+    np.cumsum(uniq_len, out=uniq_off[1:])
+    return inverse[:c], bounds, uniq_buf, uniq_off, uniq_len
+
+
+def pack_u16_rows(uniq_buf: np.ndarray, uniq_off: np.ndarray,
+                  uniq_len: np.ndarray, Lc: int,
+                  alpha: np.ndarray) -> np.ndarray:
+    """Pack unique chunks into the u16 wire matrix for wp_e2e_scan_u16
+    (native equivalent of pad + pack_chars + pack_u16). The caller
+    guarantees the alphabet fits 13 bits."""
+    lib = _load()
+    alpha = np.ascontiguousarray(alpha, dtype=np.int32)
+    u = uniq_len.shape[0]
+    mat = np.empty((u, Lc), dtype=np.uint16)
+    lib.swt_pack_u16(
+        _ptr(uniq_buf, ctypes.c_uint32), _ptr(uniq_off, ctypes.c_int64),
+        _ptr(uniq_len, ctypes.c_int32), u, Lc,
+        _ptr(alpha, ctypes.c_int32), _ptr(_packed_ws_py, ctypes.c_uint8),
+        _ptr(_packed_punc_py, ctypes.c_uint8),
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return mat
 
 
 def split_corpus(cps: np.ndarray, sent_cp_off: np.ndarray

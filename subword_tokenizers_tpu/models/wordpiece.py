@@ -706,6 +706,13 @@ class FastWP(NaiveWP):
     def _tokenize_batch_chunked(self, corpus: List[str]) -> List[List[str]]:
         if len(corpus) == 0:
             return []
+        # Fused native path: one C++ pass lowers, splits, dedups and
+        # builds sentence bounds; a second packs unique chunks directly
+        # into the u16 wire matrix — the lowered text never exists as a
+        # Python object (see _native/encode_prep.cpp).
+        fused = self._try_fused_chunked(corpus)
+        if fused is not None:
+            return fused
         # Sentence-level dedup: repeated sentences (common in batch
         # workloads) tokenize once; duplicate slots get independent list
         # copies (the reference returns a fresh list per sentence, and
@@ -828,6 +835,69 @@ class FastWP(NaiveWP):
         uslen = clen[uidx] + 1  # + trailing space
         return self._scan_and_stitch(umat, uslen, inverse, sid, S,
                                      len(uidx))
+
+    def _try_fused_chunked(self, corpus: List[str]):
+        """Fused native chunked encode; None when any precondition fails
+        (no toolchain, mesh encode, wide pops/alphabet, or a case-special
+        codepoint that needs exact Python ``str.lower()``)."""
+        trie, out_table = self._trie()
+        n_pops = max(trie.max_pops, 1)
+        if (self.mesh is not None or n_pops > 8
+                or trie.n_alpha >= (1 << 13)):
+            return None
+        try:
+            from .._native import binding
+            binding._load()
+        except Exception:
+            return None
+        prep = binding.encode_prep(corpus)
+        if prep is None:
+            return None
+        inverse, bounds, uniq_buf, uniq_off, uniq_len = prep
+        S = len(corpus)
+        if uniq_len.size == 0:
+            return [[] for _ in range(S)]
+        # +2 for the trailing space + boundary lookback; rounded to a
+        # multiple of 8 so compiled scan shapes repeat across corpora.
+        Lc = -(-(int(uniq_len.max()) + 2) // 8) * 8
+        mat16 = binding.pack_u16_rows(uniq_buf, uniq_off, uniq_len, Lc,
+                                      trie.alpha)
+        uslen = (uniq_len + 1).astype(np.int32)  # + trailing space
+        out_ids, out_n, out_table = self._run_e2e_prepacked(mat16, uslen)
+        return binding.stitch(out_table.strings(), out_ids, out_n,
+                              inverse, bounds)
+
+    def _run_e2e_prepacked(self, mat16, uslen):
+        """Sliced scan over an already-packed u16 wire matrix (the fused
+        native path); same dispatch/caching as :meth:`_run_e2e_packed`."""
+        import contextlib
+
+        import jax
+
+        from ..ops.wp_encode_e2e import pack_node_info, sliced_e2e_scan_u16
+
+        trie, out_table = self._trie()
+        n_pops = max(trie.max_pops, 1)
+        if getattr(self, "_packed_cache", None) is None or \
+                self._packed_cache[0] is not trie:
+            from ..core.dispatch import DeviceCache
+            info = pack_node_info(trie.fail, trie.pops_off, trie.pops_flat,
+                                  n_pops)
+            self._packed_cache = (trie,
+                                  DeviceCache(lambda: (info, trie.goto)))
+        dev_cache = self._packed_cache[1]
+        sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
+        from ..core.dispatch import scan_device
+        dev = scan_device(int(mat16.size))
+        node_info, goto_dev = dev_cache.get(dev)
+        ctx = jax.default_device(dev) if dev is not None else \
+            contextlib.nullcontext()
+        with ctx:
+            out, out_n, ovf, stuck, crash = sliced_e2e_scan_u16(
+                mat16, uslen, goto_dev, node_info, trie.root_p,
+                trie.root_sharp, self._unk_id, sharp_seq, n_pops)
+        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table,
+                                raw=True)
 
     def _scan_and_stitch(self, umat, uslen, inverse, sid, S, n_uniq):
         bounds = np.searchsorted(sid, np.arange(S + 1, dtype=sid.dtype))

@@ -239,16 +239,27 @@ def sliced_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
     real vocabularies). Padding rows are zeros with slen = 0 — DONE at
     init. Returns host arrays in the caller's original row order.
     """
+    if n_alpha < (1 << 13):
+        return sliced_e2e_scan_u16(pack_u16(pchar), slen, goto_table,
+                                   node_info, root_p, root_sharp, unk_id,
+                                   sharp_seq, n_pops)
     from ..core.batching import sliced_rows
 
-    if n_alpha < (1 << 13):
-        pchar = pack_u16(pchar)
-        base = wp_e2e_scan_u16
-    else:
-        base = wp_e2e_scan
-
     def fn(ps, ls):
-        return base(ps, ls, goto_table, node_info, root_p, root_sharp,
-                    unk_id, sharp_seq, n_pops)
+        return wp_e2e_scan(ps, ls, goto_table, node_info, root_p,
+                           root_sharp, unk_id, sharp_seq, n_pops)
 
     return sliced_rows(fn, (pchar, slen), (0, 0), slen, 5)
+
+
+def sliced_e2e_scan_u16(pchar16, slen, goto_table, node_info, root_p,
+                        root_sharp, unk_id, sharp_seq, n_pops):
+    """Sliced scan over an ALREADY-packed u16 wire matrix (the native
+    front end packs rows directly; see _native/encode_prep.cpp)."""
+    from ..core.batching import sliced_rows
+
+    def fn(ps, ls):
+        return wp_e2e_scan_u16(ps, ls, goto_table, node_info, root_p,
+                               root_sharp, unk_id, sharp_seq, n_pops)
+
+    return sliced_rows(fn, (pchar16, slen), (0, 0), slen, 5)

@@ -194,3 +194,41 @@ def test_sliced_scan_matches_monolithic():
     back = (w16.astype(np.int32) & e2e.U16_AID_MASK) \
         | ((w16.astype(np.int32) & 0xE000) << 9)
     assert np.array_equal(back, pc32)
+
+
+def test_fused_native_path_equivalence(pan_tadeusz, pan_tadeusz_golden):
+    """The fused native front end (_native/encode_prep.cpp) must match the
+    pure-Python chunked path input-for-input — including raising the same
+    hang/crash guards — and specials must fall back cleanly."""
+    pytest.importorskip("subword_tokenizers_tpu._native.binding")
+    from subword_tokenizers_tpu._native import binding
+    try:
+        binding._load()
+    except Exception:
+        pytest.skip("no C++ toolchain")
+    tok = FastWP()
+    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
+    assert tok._try_fused_chunked(pan_tadeusz[:5]) == \
+        pan_tadeusz_golden["FastWordPiece"][:5]
+    # LOWER_SPECIAL codepoints (İ / Σ) must route to the Python fallback.
+    assert tok._try_fused_chunked(["İstanbul ΣΣ"]) is None
+
+    plain = FastWP.__dict__["_try_fused_chunked"]
+    tricky = ["", "   ", "a", "zażółć gęślą jaźń!!!", "ab,cd--ef",
+              "x" * 50, "a b  c\t\nd", "mixed 123, punct... (p) [b]",
+              "\x1c odd ws", "##", "dup dup dup", "don't stop-me",
+              "1234567890", "ęĄŁÓŹŻĆŃŚ"]
+    for s in tricky:
+        batch = [s, s + " tail", "pad word"]
+
+        def run(use_fused):
+            FastWP._try_fused_chunked = plain if use_fused else \
+                (lambda self, c: None)
+            try:
+                return ("ok", tok.tokenize_batch(batch))
+            except RuntimeError as e:
+                return ("err", str(e).split(" on input")[0])
+            finally:
+                FastWP._try_fused_chunked = plain
+
+        assert run(True) == run(False), s
