@@ -210,7 +210,10 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                                .at[new_id].add(upd)
 
         rec = {"a": a, "b": b, "new_id": new_id, "matched": matched,
-               "active": active}
+               "active": active,
+               # live-slot count: lets the host shrink the flat arrays
+               # between blocks (merges only ever consume slots)
+               "n_live": jnp.sum((nfs >= 0).astype(jnp.int32))}
         return ((nfs, nwid, nwgt, sym_freq, h1, h2, slen, n_sym,
                  vocab_size, alive & active), rec)
 
@@ -222,6 +225,11 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
 
 class HashCollision(Exception):
     """Device hash unification disagreed with real string interning."""
+
+
+# Floor for the between-block flat-array shrink: below this the sort is
+# cheap and another compiled shape isn't worth it.
+_FLAT_MIN = 8192
 
 
 def _cand_cap(n_pairs: int):
@@ -340,6 +348,21 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
             checkpoint_cb(steps_done)
         if len(table) >= max_vocab:
             done = True
+        if flat and not done and steps_done:
+            # Merges only consume slots and flat_apply left-compacts live
+            # slots to the front every step, so the dead tail can be
+            # sliced off between blocks — positions (the tie-break key)
+            # are untouched. Halving grid: each distinct width is a fresh
+            # multi-minute XLA compile through the remote TPU link, so
+            # shrink at most one power of two per block.
+            F = int(carry[0].shape[0])
+            live = int(recs_np["n_live"][steps_done - 1])
+            if F >= 2 * _FLAT_MIN and live <= F // 2:
+                Fp = F // 2
+                fs_h, wid_h, wgt_h = jax.device_get(
+                    (carry[0], carry[1], carry[2]))
+                carry = (jnp.asarray(fs_h[:Fp]), jnp.asarray(wid_h[:Fp]),
+                         jnp.asarray(wgt_h[:Fp])) + tuple(carry[3:])
 
     if flat:
         fs_f, wid_f = jax.device_get((carry[0], carry[1]))

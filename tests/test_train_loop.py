@@ -141,3 +141,26 @@ def test_wp_select_core_compaction_exact():
                 got = wp_select_core(k_s, p_s, rt, cand, sf, narrow, cap)
                 assert [int(x) for x in got] == [int(x) for x in want], \
                     (narrow, trial, cap)
+
+
+def test_flat_shrink_bit_exact(monkeypatch):
+    """The between-block flat-array shrink (dead-tail slice on the halving
+    grid) must not change a single merge: positions of live slots are
+    untouched, so tie-breaks are identical. Forced here by dropping the
+    shrink floor so the tiny corpus qualifies."""
+    from subword_tokenizers_tpu.ops import train_loop
+
+    def train(min_floor):
+        monkeypatch.setattr(train_loop, "_FLAT_MIN", min_floor)
+        table, ca = _table_and_arrays()
+        merges = []
+        run_fused(jnp.asarray(ca.sym), jnp.asarray(ca.freq), table, 30,
+                  True, False,
+                  lambda sa, sb, m: merges.append((sa, sb)), K=4,
+                  flat=True)
+        return merges
+
+    no_shrink = train(1 << 30)
+    shrunk = train(2)  # every block may halve
+    assert shrunk == no_shrink
+    assert len(shrunk) > 0
