@@ -114,3 +114,29 @@ def test_sharded_tiered_select_fuzz(seed):
     mesh_w.train(corpus, mv)
     assert mesh_w.vocab == single_w.vocab
     assert mesh_w.corpus_as_symbols == single_w.corpus_as_symbols
+
+
+@needs_ref
+@pytest.mark.parametrize("seed", range(3))
+def test_shrink_path_fuzz(seed, monkeypatch):
+    """Force the between-block flat-array shrink on fuzz-sized corpora
+    (drop the floor so every block may halve) and diff full training
+    against the live reference — covers shrink x narrow x WP-score
+    interactions the unit test can't."""
+    from subword_tokenizers_tpu.ops import train_loop
+    monkeypatch.setattr(train_loop, "_FLAT_MIN", 2)
+    rng = random.Random(7000 + seed)
+    corpus = _corpus(rng, n_sent=8, max_len=80)
+    mv = rng.randrange(60, 140)
+
+    ref_b = make_reference("NaiveBPE")
+    ref_b.train(corpus, mv)
+    mine_b = NaiveBPE()
+    mine_b.train(corpus, mv)
+    assert mine_b.merges_list == ref_b.merges_list
+
+    ref_w = make_reference("NaiveWordPiece")
+    ref_w.train(corpus, mv)
+    mine_w = NaiveWP()
+    mine_w.train(corpus, mv)
+    assert mine_w.vocab == ref_w.vocab

@@ -130,6 +130,32 @@ def main():
             for i in range(S)]
     t("stitch (strings+concat)", stitch)
 
+    # --- fused native path stages (the actual default path) ---
+    try:
+        from subword_tokenizers_tpu._native import binding
+        binding._load()
+    except Exception:
+        return
+    print("  --- fused native path ---")
+    (prep, _) = t("native encode_prep", lambda: binding.encode_prep(big))
+    if prep is None:
+        print("  (case special present: fused path not applicable)")
+        return
+    finverse, fbounds, uniq_buf2, uniq_off2, uniq_len2 = prep
+    Lc2 = -(-(int(uniq_len2.max()) + 2) // 8) * 8
+    (mat16, _) = t("native pack_u16", lambda: binding.pack_u16_rows(
+        uniq_buf2, uniq_off2, uniq_len2, Lc2, trie.alpha))
+    uslen2 = (uniq_len2 + 1).astype(np.int32)
+
+    def scan_fused():
+        r = tok._run_e2e_prepacked(mat16, uslen2)
+        return r
+    (raw, _) = t("sliced scan (prepacked)", scan_fused)
+    out_ids, out_ns, out_tab = raw
+    strs2 = out_tab.strings()
+    t("native stitch", lambda: binding.stitch(strs2, out_ids, out_ns,
+                                              finverse, fbounds))
+
 
 if __name__ == "__main__":
     main()
