@@ -408,7 +408,10 @@ class NaiveBPE(SubwordTokenizer):
                                max_probe),)
 
         with ctx:
-            (merged,) = sliced_rows(fn, (sym,), (-1,), wlen, 1)
+            # The merge loop's per-trip cost is O(rows x width): quantize
+            # each slice's width to its own max word length too.
+            (merged,) = sliced_rows(fn, (sym,), (-1,), wlen, 1,
+                                    col_quantize=True, out_col_pad=(-1,))
         out_n = np.count_nonzero(merged >= 0, axis=1).astype(np.int32)
         return merged, out_n, table
 
