@@ -843,8 +843,10 @@ class FastWP(NaiveWP):
         trie, out_table = self._trie()
         n_pops = max(trie.max_pops, 1)
         if (self.mesh is not None or n_pops > 8
-                or trie.n_alpha >= (1 << 13)):
-            return None
+                or trie.n_alpha >= (1 << 13)
+                or not isinstance(corpus, list)
+                or not all(isinstance(s, str) for s in corpus)):
+            return None  # odd inputs keep the Python path's exact behavior
         try:
             from .._native import binding
             binding._load()

