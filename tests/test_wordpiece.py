@@ -232,3 +232,37 @@ def test_fused_native_path_equivalence(pan_tadeusz, pan_tadeusz_golden):
                 FastWP._try_fused_chunked = plain
 
         assert run(True) == run(False), s
+
+
+@needs_ref
+def test_deep_vocab_encode_parity():
+    """Encode-side deep-vocab check: both WP encoders on the 8k-vocab
+    golden (tests/golden/t5k2500_v8000_wp_vocab.json — a trie an order
+    of magnitude deeper than the tutorial fixtures) must match the live
+    reference stream-for-stream."""
+    with open("tests/golden/t5k2500_v8000_wp_vocab.json") as f:
+        vocab = json.load(f)
+    with open("/root/reference/data/train-5K.json") as f:
+        sents = json.load(f)[2500:2700]  # held-out slice
+
+    mine = FastWP()
+    mine.vocab = set(vocab)
+    mine.load_resources("/nonexistent")  # no-op load rebuilds the trie
+    # The reference builds its trie only in train/load_resources: round-trip
+    # the vocab through our (reference-format) save.
+    ref = make_reference("FastWordPiece")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        mine.save_resources(td)
+        ref.load_resources(td)
+    got = mine.tokenize_batch(sents)
+    for i, s in enumerate(sents):
+        assert got[i] == ref.tokenize(s), s
+
+    refn = make_reference("NaiveWordPiece")
+    refn.vocab = set(vocab)
+    minen = NaiveWP()
+    minen.vocab = set(vocab)
+    gotn = minen.tokenize_batch(sents)
+    for i, s in enumerate(sents):
+        assert gotn[i] == refn.tokenize(s), s
