@@ -63,3 +63,24 @@ class SubwordTokenizer:
         """Number of unique characters in the corpus
         (reference: source/utils.py:31-41)."""
         return len({symbol for example in corpus for symbol in example})
+
+    def tokenize_stream(self, sentences, batch_sentences: int = 8192):
+        """Bounded-memory streaming encode: consume any iterable of
+        sentences, yield one token list per sentence, in order.
+
+        Internally batches ``batch_sentences`` at a time through
+        ``tokenize_batch`` (all dedup/device batching applies per block),
+        so arbitrarily large corpora encode in constant memory. A
+        capability the reference lacks; batch size trades peak memory
+        against device-batch efficiency.
+        """
+        if batch_sentences < 1:
+            raise ValueError("batch_sentences must be >= 1")
+        block: List[str] = []
+        for s in sentences:
+            block.append(s)
+            if len(block) >= batch_sentences:
+                yield from self.tokenize_batch(block)
+                block = []
+        if block:
+            yield from self.tokenize_batch(block)

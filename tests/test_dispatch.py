@@ -121,3 +121,23 @@ def test_sliced_rows_col_quantize_roundtrip():
     assert (quant[:, :wq] == plain[:, :wq]).all() or True
     for i, l in enumerate(lens):
         assert (quant[i, :l] == mat[i, :l] + 1).all()
+
+
+def test_tokenize_stream_matches_batch():
+    """tokenize_stream must equal tokenize_batch for any batch size,
+    including block boundaries and a generator input."""
+    import json
+
+    from subword_tokenizers_tpu import FastWP
+
+    with open("/root/reference/data/pan_tadeusz.json") as f:
+        corpus = json.load(f)[:37]
+    tok = FastWP()
+    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
+    want = tok.tokenize_batch(corpus)
+    for bs in (1, 7, 37, 1000):
+        got = list(tok.tokenize_stream(iter(corpus), batch_sentences=bs))
+        assert got == want, bs
+    import pytest
+    with pytest.raises(ValueError):
+        next(tok.tokenize_stream(corpus, batch_sentences=0))
