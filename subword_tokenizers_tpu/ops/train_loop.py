@@ -363,6 +363,12 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                     (carry[0], carry[1], carry[2]))
                 carry = (jnp.asarray(fs_h[:Fp]), jnp.asarray(wid_h[:Fp]),
                          jnp.asarray(wgt_h[:Fp])) + tuple(carry[3:])
+                if wordpiece:
+                    # The width change recompiles anyway; shrink the
+                    # candidate buffer (exact-double scoring cost) along
+                    # with it. Cost-only — wp_select_core falls back to
+                    # full width inside lax.cond on overflow.
+                    cand_cap = _cand_cap(Fp - 1)
 
     if flat:
         fs_f, wid_f = jax.device_get((carry[0], carry[1]))
