@@ -74,6 +74,8 @@ def _tokenization_report(tokenizer: Any, name: str, test_corpus: List[str],
     print(f"Total time:     {perf['total_time_s']:.4f}s")
     print(f"Throughput:     {perf['throughput_tokens_per_s']:.2f} tokens/s")
     print(f"Avg. latency:   {perf['avg_latency_s']:.6f}s per sentence")
+    print(f"Batch latency:  {perf['avg_batch_latency_s']:.6f}s per sentence "
+          f"(amortized)")
 
     print("\n=== Zipf Distribution Fit ===")
     zipf = zipf_distribution(tokenized_inputs)

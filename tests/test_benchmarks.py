@@ -62,6 +62,58 @@ def test_equivalence_matches_reference():
     assert mine == ref
 
 
+class _SpyTok:
+    """Counts batch vs per-sentence calls to pin the latency semantics."""
+
+    def __init__(self):
+        self.batch_calls = 0
+        self.single_calls = 0
+
+    def tokenize_batch(self, sents):
+        self.batch_calls += 1
+        return [[s] for s in sents]
+
+    def tokenize(self, s):
+        self.single_calls += 1
+        return [s]
+
+
+def test_tokenization_performance_semantics():
+    # avg_latency_s = the reference's per-sentence tokenize latency
+    # (source/benchmarks.py:187-218); avg_batch_latency_s = the
+    # batch-amortized figure. Both must be present and measured from the
+    # right call path.
+    spy = _SpyTok()
+    sents = [f"s{i}" for i in range(10)]
+    perf = M.tokenization_performance(spy, sents)
+    assert spy.batch_calls == 1
+    assert spy.single_calls == len(sents)  # <= latency_sample: full sweep
+    for key in ("total_time_s", "throughput_tokens_per_s",
+                "avg_latency_s", "avg_batch_latency_s"):
+        assert key in perf and perf[key] >= 0
+
+    # Large input: the per-sentence sweep is strided to latency_sample.
+    spy = _SpyTok()
+    perf = M.tokenization_performance(spy, [f"s{i}" for i in range(1000)],
+                                      latency_sample=16)
+    assert spy.batch_calls == 1
+    assert spy.single_calls == 16
+
+    # No batch path: both figures come from per-sentence calls.
+    class _Plain:
+        def __init__(self):
+            self.single_calls = 0
+
+        def tokenize(self, s):
+            self.single_calls += 1
+            return [s]
+
+    p = _Plain()
+    perf = M.tokenization_performance(p, sents)
+    assert p.single_calls == 2 * len(sents)  # timed batch-fallback + sweep
+    assert perf["avg_latency_s"] >= 0
+
+
 def test_suite_modes(capsys):
     corpus = ["aaa aab abab banana bandana!", "ab ab ab cd cd"]
     a = NaiveBPE()
