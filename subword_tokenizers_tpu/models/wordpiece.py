@@ -41,7 +41,12 @@ from ..frontend.charclass import PUNC_PY, WS_PY, codepoints
 from .base import SubwordTokenizer
 from .trie import E2ETrie, MatchTrie
 
-MAX_TOKENS_WP = 1 << 26  # exact-double score domain: fa*fb < 2**53
+# Exact-score domain ceiling: the 128-bit scorer needs fa, fb < 2**53 and
+# pair counts < 2**53, i.e. total symbol occurrences < 2**52 (~4.5e15 —
+# petabytes of text; the reference's own Counter arithmetic is the only
+# thing beyond it). Below WIDE_SCORE_MIN the narrow i64 scorer suffices.
+MAX_TOKENS_WP = 1 << 52
+WIDE_SCORE_MIN = 1 << 26  # fa*fb < 2**53 guaranteed iff total < 2**26
 
 UNK = "[UNK]"
 UNK_E2E = "['UNK']"  # FastWP's literal quirk (source/wordpiece.py:257)
@@ -116,7 +121,11 @@ class NaiveWP(SubwordTokenizer):
         if total_tokens >= MAX_TOKENS_WP:
             raise ValueError(
                 "corpus exceeds the exact-score domain "
-                f"({total_tokens} symbol occurrences >= 2**26)")
+                f"({total_tokens} symbol occurrences >= 2**52)")
+        # >= 2**26 total occurrences: fa*fb may exceed 2**53, so scores go
+        # through the 128-bit-denominator divider (ops/bitmath.py) — still
+        # bit-exact vs CPython's arbitrary-precision int division.
+        wide_score = total_tokens >= WIDE_SCORE_MIN
 
         import jax.numpy as jnp
         from ..ops.merge import apply_merge
@@ -129,7 +138,10 @@ class NaiveWP(SubwordTokenizer):
         n_dev = self.mesh.devices.size if self.mesh is not None else 0
         n_pos = (corpus_arrays.sym.shape[0] + n_dev) * max(
             corpus_arrays.sym.shape[1] - 1, 1)
-        narrow = sym_cap + 8 < (1 << 16) and n_pos < 2**31
+        # Narrow (i32) keys need symbol ids < 2**16 and all counts/weights
+        # < 2**31 (run totals accumulate *weighted* frequencies).
+        narrow = (sym_cap + 8 < (1 << 16) and n_pos < 2**31
+                  and total_tokens < 2**31)
         bits = 16 if narrow else 21
         from ..ops.train_loop import _cand_cap
 
@@ -152,19 +164,22 @@ class NaiveWP(SubwordTokenizer):
                 # two-phase top-K, then exact compacted-runs gather, then
                 # full position gather (cap overflow only).
                 bk, bb, bf, bc, proven = sharded_wp_select_topk(
-                    self.mesh, s, f, sym_cap, narrow, cand_cap=cap_local)
+                    self.mesh, s, f, sym_cap, narrow, cand_cap=cap_local,
+                    wide_score=wide_score)
                 if bool(proven):
                     self._sel_stats["proven"] += 1
                     return bk, bb, bf, bc
                 self._topk_fallbacks += 1
                 bk, bb, bf, bc, exact = sharded_wp_select_compact(
-                    self.mesh, s, f, sym_cap, narrow, run_cap)
+                    self.mesh, s, f, sym_cap, narrow, run_cap,
+                    wide_score=wide_score)
                 if bool(exact):
                     self._sel_stats["compact"] += 1
                     return bk, bb, bf, bc
                 self._sel_stats["full"] += 1
                 return sharded_wp_select(self.mesh, s, f, sym_cap, narrow,
-                                         cand_cap=cap_global)
+                                         cand_cap=cap_global,
+                                         wide_score=wide_score)
 
             apply_merge_fn = lambda s, a, b, n: sharded_apply_merge(
                 self.mesh, s, a, b, n)
@@ -172,7 +187,8 @@ class NaiveWP(SubwordTokenizer):
             sym = jnp.asarray(corpus_arrays.sym)
             freq_dev = jnp.asarray(corpus_arrays.freq)
             cap = _cand_cap(n_pos)
-            select = lambda s, f: wp_select(s, f, sym_cap, narrow, cap)
+            select = lambda s, f: wp_select(s, f, sym_cap, narrow, cap,
+                                            wide_score)
             apply_merge_fn = apply_merge
 
         if self._resume_dir is not None:
@@ -216,7 +232,7 @@ class NaiveWP(SubwordTokenizer):
             try:
                 sym = run_fused(
                     sym, freq_dev, table, max_vocab, narrow, True,
-                    on_merge,
+                    on_merge, wide_score=wide_score,
                     checkpoint_cb=(ckpt_cb if self._checkpoint_dir
                                    is not None else None),
                     progress_cb=pbar.update if pbar is not None else None)

@@ -40,7 +40,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .bitmath import div_double_bits
+from .bitmath import div_double_bits, div_double_bits_wide, mul_53x53
 
 # i64 path: symbol ids < 2^21 (≈2M distinct symbols).
 SYM_BITS = 21
@@ -183,20 +183,32 @@ def symbol_freqs(sym_flat, w_flat, sym_cap: int):
         jnp.where(sym_flat >= 0, w_flat, 0), seg, num_segments=sym_cap + 1)
 
 
-def wp_score_bits(ck, cc, cmask, sym_freq, narrow: bool):
+def wp_score_bits(ck, cc, cmask, sym_freq, narrow: bool,
+                  wide_score: bool = False):
     """Exact IEEE-double bit patterns of ``count / (freq_a * freq_b)``
     per candidate (reference score: source/wordpiece.py:84-87). Stays in
-    i64 regardless of ``narrow`` — the double domain needs 53 bits."""
+    i64 regardless of ``narrow`` — the double domain needs 53 bits.
+
+    ``wide_score`` switches to the 128-bit-denominator divider
+    (ops/bitmath.div_double_bits_wide) for corpora with >= 2**26 total
+    symbol occurrences, where ``fa * fb`` no longer fits the narrow
+    domain; exactness holds up to ~2**52 total tokens (CPython's int/int
+    division is correctly rounded at any size, so this still matches the
+    reference bit-for-bit)."""
     _, bits, space, _, _ = _consts(narrow)
     a = jnp.where(cmask, (ck >> bits) & (space - 1), 0).astype(jnp.int32)
     b = jnp.where(cmask, ck & (space - 1), 0).astype(jnp.int32)
-    denom = sym_freq[a].astype(jnp.int64) * sym_freq[b].astype(jnp.int64)
     c = jnp.maximum(cc, 1).astype(jnp.int64)
-    return div_double_bits(c, jnp.maximum(denom, 1))
+    fa = jnp.maximum(sym_freq[a].astype(jnp.int64), 1)
+    fb = jnp.maximum(sym_freq[b].astype(jnp.int64), 1)
+    if wide_score:
+        d_hi, d_lo = mul_53x53(fa, fb)
+        return div_double_bits_wide(c, d_hi, d_lo)
+    return div_double_bits(c, fa * fb)
 
 
 def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
-                   cand_cap=None):
+                   cand_cap=None, wide_score: bool = False):
     """Shared WordPiece winner selection over aggregated runs.
 
     The single body behind wp_select, the fused train loop, and the
@@ -204,10 +216,13 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
     With ``cand_cap`` set, scoring runs over compacted candidates and
     falls back to the full-width arrays inside ``lax.cond`` only when the
     cap overflows (both results are exact; the cap is purely a cost trade).
-    Returns (best_key, best_bits, best_fs, best_count).
+    ``wide_score`` selects the 128-bit-denominator scorer (corpora with
+    >= 2**26 total tokens). Returns (best_key, best_bits, best_fs,
+    best_count).
     """
     def full(_):
-        bits = wp_score_bits(k_s, run_total, is_cand, sym_freq, narrow)
+        bits = wp_score_bits(k_s, run_total, is_cand, sym_freq, narrow,
+                             wide_score)
         bk, bb, bf = _select(k_s, p_s, bits, is_cand)
         cnt = jnp.max(jnp.where((k_s == bk) & is_cand, run_total,
                                 jnp.asarray(-1, dtype=run_total.dtype)))
@@ -220,7 +235,7 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
                                            cand_cap, narrow)
 
     def compacted(_):
-        bits = wp_score_bits(ck, cc, cmask, sym_freq, narrow)
+        bits = wp_score_bits(ck, cc, cmask, sym_freq, narrow, wide_score)
         bk, bb, bf = _select(ck, cp, bits, cmask)
         cnt = jnp.max(jnp.where((ck == bk) & cmask, cc,
                                 jnp.asarray(-1, dtype=cc.dtype)))
@@ -229,9 +244,11 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
     return jax.lax.cond(ovf, full, compacted, None)
 
 
-@partial(jax.jit, static_argnames=("sym_cap", "narrow", "cand_cap"))
+@partial(jax.jit, static_argnames=("sym_cap", "narrow", "cand_cap",
+                                   "wide_score"))
 def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
-              narrow: bool = False, cand_cap=None):
+              narrow: bool = False, cand_cap=None,
+              wide_score: bool = False):
     """One WordPiece selection: max score ``pair/(fa*fb)``, first-seen
     tie-break, with score compared as the exact Python double.
 
@@ -251,4 +268,4 @@ def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
     sym_freq = symbol_freqs(flat, wsym, sym_cap)
 
     return wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow,
-                          cand_cap)
+                          cand_cap, wide_score)

@@ -66,7 +66,7 @@ def pow_tables(max_len: int):
 def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
                       n_sym, vocab_size, alive, pw1, pw2, sharp_h1,
                       sharp_h2, max_vocab, narrow, sym_cap, wordpiece,
-                      cand_cap=None):
+                      cand_cap=None, wide_score=False):
     """Shared per-step core: winner selection + device string unification.
 
     ``sym_freq`` is the per-symbol frequency table (WordPiece scoring) or
@@ -77,7 +77,8 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
     _, bits, space, _, _ = _consts(narrow)
     if wordpiece:
         best_key, _, _, count_at = wp_select_core(
-            k_s, p_s, run_total, is_cand, sym_freq, narrow, cand_cap)
+            k_s, p_s, run_total, is_cand, sym_freq, narrow, cand_cap,
+            wide_score)
     else:
         best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
 
@@ -121,10 +122,10 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
 
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "cand_cap"))
+                                   "cand_cap", "wide_score"))
 def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
                 sharp_h1, sharp_h2, max_vocab, K, narrow, sym_cap,
-                wordpiece, cand_cap=None):
+                wordpiece, cand_cap=None, wide_score=False):
     """Run up to K merge steps on device (padded [n, L] corpus layout).
 
     sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
@@ -154,7 +155,7 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
          matched) = _select_and_unify(
             k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-            narrow, sym_cap, wordpiece, cand_cap)
+            narrow, sym_cap, wordpiece, cand_cap, wide_score)
 
         new_sym = apply_merge(sym, jnp.where(active, a, -3),
                               jnp.where(active, b, -3), new_id)
@@ -170,10 +171,11 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
 
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "cand_cap"))
+                                   "cand_cap", "wide_score"))
 def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                      vocab_size, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-                     K, narrow, sym_cap, wordpiece, cand_cap=None):
+                     K, narrow, sym_cap, wordpiece, cand_cap=None,
+                     wide_score=False):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
     intra-word padding).
@@ -198,7 +200,7 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
             k_s, p_s, run_total, is_cand,
             sym_freq if wordpiece else None, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-            narrow, sym_cap, wordpiece, cand_cap)
+            narrow, sym_cap, wordpiece, cand_cap, wide_score)
 
         nfs, nwid, nwgt, n_rep = flat_apply(fs, wid, wgt,
                                             jnp.where(active, a, -3),
@@ -249,7 +251,7 @@ def _cand_cap(n_pairs: int):
 
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
               on_merge, K: int = 64, checkpoint_cb=None, progress_cb=None,
-              flat: bool = True):
+              flat: bool = True, wide_score: bool = False):
     """Host driver for the K-step device loop.
 
     ``table`` is the live SymbolTable (vocabulary == its string set for
@@ -318,12 +320,12 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                 carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
                 carry[6], carry[7], carry[8], pw1_d, pw2_d, sh1, sh2,
                 jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
-                cand_cap)
+                cand_cap, wide_score)
         else:
             state, recs = train_steps(
                 carry[0], freq_dev, carry[1], carry[2], carry[3], carry[4],
                 carry[5], pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
-                narrow, sym_cap, wordpiece, cand_cap)
+                narrow, sym_cap, wordpiece, cand_cap, wide_score)
         recs_np = jax.device_get(recs)
         steps_done = 0
         for k in range(K):

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.bitmath import bitlen
 from ..ops.pairstats import (_consts, _run_aggregate, _select,
                              compact_cands, symbol_freqs, wp_score_bits,
                              wp_select_core)
@@ -131,9 +132,10 @@ def sharded_bpe_select(mesh, sym, freq, narrow: bool = False):
     return step(sym, freq)
 
 
-@partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "cand_cap"))
+@partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "cand_cap",
+                                   "wide_score"))
 def sharded_wp_select(mesh, sym, freq, sym_cap, narrow: bool = False,
-                      cand_cap=None):
+                      cand_cap=None, wide_score: bool = False):
     """Exact global WordPiece selection over all_gather'd pair statistics
     (the certificate-failure fallback). Scoring and tie-breaks go through
     the same :func:`~..ops.pairstats.wp_select_core` as every other path.
@@ -154,7 +156,7 @@ def sharded_wp_select(mesh, sym, freq, sym_cap, narrow: bool = False,
         k_s, p_s, run_total, is_cand = _run_aggregate(keys_g, pos_g, w_g,
                                                       narrow)
         return wp_select_core(k_s, p_s, run_total, is_cand, sym_freq,
-                              narrow, cand_cap)
+                              narrow, cand_cap, wide_score)
 
     return step(sym, freq)
 
@@ -194,9 +196,10 @@ def sharded_bpe_select_compact(mesh, sym, freq, narrow: bool, cap: int):
     return step(sym, freq)
 
 
-@partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "cap"))
+@partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "cap",
+                                   "wide_score"))
 def sharded_wp_select_compact(mesh, sym, freq, sym_cap, narrow: bool,
-                              cap: int):
+                              cap: int, wide_score: bool = False):
     """Exact global WordPiece selection over compacted local runs (see
     :func:`sharded_bpe_select_compact`); scoring goes through the shared
     :func:`~..ops.pairstats.wp_select_core`.
@@ -224,7 +227,7 @@ def sharded_wp_select_compact(mesh, sym, freq, sym_cap, narrow: bool,
         # wp_select_core cond-falls-back to full width if the union is
         # larger (exact either way).
         bk, bb, bf, bc = wp_select_core(K_s, P_s, tot, cand, sym_freq,
-                                        narrow, cap)
+                                        narrow, cap, wide_score)
         any_ovf = jax.lax.psum(ovf.astype(jnp.int32), DATA_AXIS) > 0
         return bk, bb, bf, bc, ~any_ovf
 
@@ -281,9 +284,10 @@ def sharded_bpe_select_topk(mesh, sym, freq, narrow: bool = False,
 
 
 @partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "topk",
-                                   "cand_cap"))
+                                   "cand_cap", "wide_score"))
 def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
-                           topk: int = TOPK, cand_cap=None):
+                           topk: int = TOPK, cand_cap=None,
+                           wide_score: bool = False):
     """Two-phase WordPiece selection (O(K*D) comm) with a scaled-integer
     Σ-threshold certificate over the exact rational scores.
 
@@ -312,7 +316,7 @@ def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
         else:
             ck, cp_, cc, cmask, c_ovf = compact_cands(
                 k_s, p_s, run_total, is_cand, cand_cap, narrow)
-        score = wp_score_bits(ck, cc, cmask, sym_freq, narrow)
+        score = wp_score_bits(ck, cc, cmask, sym_freq, narrow, wide_score)
         metric = jnp.where(cmask, score, jnp.int64(-1))
         k = min(topk, metric.shape[0])
         topv, topi = jax.lax.top_k(metric, k)
@@ -324,8 +328,21 @@ def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
         kth_c = jnp.where(kth_sel, cc[kth_i], 0).astype(jnp.int64)
         ka = ((ck[kth_i] >> bits) & (space - 1)).astype(jnp.int32)
         kb = (ck[kth_i] & (space - 1)).astype(jnp.int32)
-        kth_d = jnp.maximum(sym_freq[ka].astype(jnp.int64)
-                            * sym_freq[kb].astype(jnp.int64), 1)
+        kfa = sym_freq[ka].astype(jnp.int64)
+        kfb = sym_freq[kb].astype(jnp.int64)
+        if wide_score:
+            # fa*fb can overflow i64 here; a shard whose K-th denominator
+            # does cannot bound its tail -> veto the certificate (the
+            # compact tier stays exact via the 128-bit scorer).
+            kth_unsafe = bitlen(jnp.maximum(kfa, 1)) + \
+                bitlen(jnp.maximum(kfb, 1)) > 62
+            kfa = jnp.where(kth_unsafe, 1, kfa)
+            kfb = jnp.where(kth_unsafe, 1, kfb)
+            # Keep q = (kth_c << 36) // kth_d overflow-free under the
+            # clamped denominator; t stays nonzero (sum_t != 0) and
+            # ``saturated`` below vetoes the certificate anyway.
+            kth_c = jnp.where(kth_unsafe, 1, kth_c)
+        kth_d = jnp.maximum(kfa * kfb, 1)
         # Scaled ceil with margin: t >= r * 2^36 for ANY non-nominated
         # rational r on this shard.  A non-nominated pair's *double* is
         # <= the K-th double, so its rational can exceed kth_c/kth_d by
@@ -333,6 +350,8 @@ def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
         q = (kth_c << _SCALE_BITS) // kth_d
         t = jnp.where(kth_sel, jnp.minimum(q + (q >> 50) + 2, _SAT), 0)
         saturated = (kth_sel & (q + (q >> 50) + 2 >= _SAT)) | c_ovf
+        if wide_score:
+            saturated = saturated | (kth_sel & kth_unsafe)
 
         # Phase 2: exact global stats for the candidate union.
         cand = jax.lax.all_gather(cand_l, DATA_AXIS, tiled=True)
@@ -344,7 +363,8 @@ def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
         any_sat = jax.lax.psum(saturated.astype(jnp.int32), DATA_AXIS) > 0
 
         valid = (cand != sentinel) & (g_cnt > 0)
-        g_bits = wp_score_bits(cand, g_cnt, valid, sym_freq, narrow)
+        g_bits = wp_score_bits(cand, g_cnt, valid, sym_freq, narrow,
+                               wide_score)
         best_key, best_bits, best_fs = _select(cand, g_pos, g_bits, valid)
         best_cnt = jnp.max(jnp.where((cand == best_key) & valid, g_cnt,
                                      jnp.asarray(-1, dtype=g_cnt.dtype)))
@@ -354,12 +374,19 @@ def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
         # (ties would hand the win to an earlier-inserted non-candidate).
         ba = ((best_key >> bits) & (space - 1)).astype(jnp.int32)
         bb = (best_key & (space - 1)).astype(jnp.int32)
-        bd = jnp.maximum(sym_freq[ba].astype(jnp.int64)
-                         * sym_freq[bb].astype(jnp.int64), 1)
+        bfa = sym_freq[ba].astype(jnp.int64)
+        bfb = sym_freq[bb].astype(jnp.int64)
+        best_unsafe = jnp.bool_(False)
+        if wide_score:
+            best_unsafe = bitlen(jnp.maximum(bfa, 1)) + \
+                bitlen(jnp.maximum(bfb, 1)) > 62
+            bfa = jnp.where(best_unsafe, 1, bfa)
+            bfb = jnp.where(best_unsafe, 1, bfb)
+        bd = jnp.maximum(bfa * bfb, 1)
         lhs = (jnp.maximum(best_cnt, 0).astype(jnp.int64)
                << _SCALE_BITS) // bd
-        proven = ((lhs > sum_t + (sum_t >> 50) + 2) & ~any_sat) \
-            | (sum_t == 0)
+        proven = ((lhs > sum_t + (sum_t >> 50) + 2) & ~any_sat
+                  & ~best_unsafe) | (sum_t == 0)
         return best_key, best_bits, best_fs, best_cnt, proven
 
     return step(sym, freq)

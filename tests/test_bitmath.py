@@ -1,10 +1,16 @@
 """Exact IEEE-double emulation: div_double_bits must equal numpy float64
-division bit-for-bit across the documented domain."""
+division bit-for-bit across the documented domain; the 128-bit-denominator
+divider must equal CPython's arbitrary-precision int/int division."""
+import struct
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from subword_tokenizers_tpu.ops.bitmath import bitlen, div_double_bits
+from subword_tokenizers_tpu.ops.bitmath import (bitlen, bitlen128,
+                                                div_double_bits,
+                                                div_double_bits_wide,
+                                                mul_53x53)
 
 
 def _ref_bits(c, d):
@@ -92,3 +98,90 @@ def test_bitlen():
     got = np.asarray(jax.jit(bitlen)(jnp.asarray(x)))
     expect = np.array([int(v).bit_length() for v in x])
     assert np.array_equal(got, expect)
+
+
+# ------------------------- 128-bit denominator (wide-corpus score domain)
+
+def _wide_expect(cs, ds):
+    """CPython's correctly-rounded int/int division, as i64 bit patterns."""
+    return np.array([struct.unpack("<q", struct.pack("<d", c / d))[0]
+                     for c, d in zip(cs, ds)], dtype=np.int64)
+
+
+def _run_wide(cs, ds):
+    dhi = np.array([d >> 53 for d in ds], dtype=np.int64)
+    dlo = np.array([d & ((1 << 53) - 1) for d in ds], dtype=np.int64)
+    return np.asarray(jax.jit(div_double_bits_wide)(
+        jnp.asarray(np.array(cs, dtype=np.int64)), jnp.asarray(dhi),
+        jnp.asarray(dlo)))
+
+
+def test_mul_53x53_exact():
+    rng = np.random.default_rng(11)
+    a = rng.integers(1, 1 << 52, size=20000)
+    b = rng.integers(1, 1 << 52, size=20000)
+    hi, lo = jax.jit(mul_53x53)(jnp.asarray(a), jnp.asarray(b))
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    for i in range(0, 20000, 97):
+        assert (int(hi[i]) << 53) + int(lo[i]) == int(a[i]) * int(b[i])
+    # full vectorized check via object ints
+    assert all((int(h) << 53) + int(l) == int(x) * int(y)
+               for h, l, x, y in zip(hi, lo, a, b))
+
+
+def test_bitlen128():
+    vals = [1, 2, (1 << 53) - 1, 1 << 53, (1 << 53) + 1, 1 << 100,
+            (1 << 105) + 12345]
+    hi = np.array([v >> 53 for v in vals], dtype=np.int64)
+    lo = np.array([v & ((1 << 53) - 1) for v in vals], dtype=np.int64)
+    got = np.asarray(jax.jit(bitlen128)(jnp.asarray(hi), jnp.asarray(lo)))
+    assert np.array_equal(got, [v.bit_length() for v in vals])
+
+
+def test_wide_random_vs_cpython():
+    rng = np.random.default_rng(17)
+    cs, ds = [], []
+    for _ in range(50000):
+        fa = int(rng.integers(1, 1 << int(rng.integers(1, 53))))
+        fb = int(rng.integers(1, 1 << int(rng.integers(1, 53))))
+        cs.append(int(rng.integers(1, min(fa, fb) + 1)))
+        ds.append(fa * fb)
+    assert np.array_equal(_run_wide(cs, ds), _wide_expect(cs, ds))
+
+
+def test_wide_boundary_and_adversarial():
+    cs, ds = [], []
+    # across the old 2**53 denominator boundary
+    for d in [(1 << 53) - 1, 1 << 53, (1 << 53) + 1, (1 << 54) - 1,
+              (1 << 106) - 1, ((1 << 52) - 1) ** 2]:
+        for c in [1, 2, 3, (1 << 52) - 1]:
+            cs.append(min(c, d))
+            ds.append(d)
+    # power-of-two denominators (sticky degenerates to the guard bit)
+    for k in range(1, 106):
+        for c in (1, 3, (1 << min(k, 52)) - 1 or 1):
+            cs.append(min(c, 1 << k))
+            ds.append(1 << k)
+    # exact-tie midpoints around d = c * 2^k
+    for k in range(2, 54):
+        for c in (3, 5, 101, (1 << 40) + 1):
+            for delta in (-1, 0, 1):
+                cs.append(c)
+                ds.append(c * (1 << k) + delta)
+    # c == d exactly -> 1.0
+    for d in (1, 7, (1 << 52) - 3):
+        cs.append(d)
+        ds.append(d)
+    assert np.array_equal(_run_wide(cs, ds), _wide_expect(cs, ds))
+
+
+def test_wide_agrees_with_narrow_in_shared_domain():
+    rng = np.random.default_rng(23)
+    c = rng.integers(1, 1 << 26, size=20000)
+    d = rng.integers(1, 1 << 26, size=20000) * rng.integers(
+        1, 1 << 26, size=20000)
+    c = np.minimum(c, d)
+    narrow = np.asarray(jax.jit(div_double_bits)(jnp.asarray(c),
+                                                 jnp.asarray(d)))
+    wide = _run_wide([int(x) for x in c], [int(x) for x in d])
+    assert np.array_equal(narrow, wide)

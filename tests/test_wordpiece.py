@@ -266,3 +266,134 @@ def test_deep_vocab_encode_parity():
     gotn = minen.tokenize_batch(sents)
     for i, s in enumerate(sents):
         assert gotn[i] == refn.tokenize(s), s
+
+
+# ---------------------------------------- wide-score domain (>= 2**26 tokens)
+
+def _mini_reference_wp(words, freqs, max_vocab):
+    """The reference trainer's exact semantics (source/wordpiece.py:44-103)
+    applied directly to a (word-type, frequency) list — Python floats,
+    dict-insertion-order tie-break — usable with synthetic frequencies far
+    beyond what a materialized corpus could reach."""
+    corpus = []
+    vocab = set()
+    for w, f in zip(words, freqs):
+        syms = [w[0]] + [f"##{c}" for c in w[1:]]
+        vocab.update(syms)
+        corpus.append((syms, int(f)))
+    while len(vocab) < max_vocab:
+        pair_freqs = {}
+        sym_freqs = {}
+        for syms, f in corpus:
+            for s in syms:
+                sym_freqs[s] = sym_freqs.get(s, 0) + f
+            for a, b in zip(syms, syms[1:]):
+                pair_freqs[(a, b)] = pair_freqs.get((a, b), 0) + f
+        if not pair_freqs:
+            break
+        scores = {p: c / (sym_freqs[p[0]] * sym_freqs[p[1]])
+                  for p, c in pair_freqs.items()}
+        best = max(scores, key=scores.get)
+        merged = best[0] + best[1][2:]
+        vocab.add(merged)
+        new_corpus = []
+        for syms, f in corpus:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_corpus.append((out, f))
+        corpus = new_corpus
+    return vocab
+
+
+def _train_with_freqs(words, freqs, max_vocab, monkeypatch, **kw):
+    """Train NaiveWP with an injected (word, freq) table (frequencies too
+    large to materialize as a real corpus)."""
+    import numpy as np
+
+    from subword_tokenizers_tpu.models import wordpiece as wp_mod
+
+    def fake_unique_words(wb):
+        return (list(words), np.asarray(freqs, dtype=np.int64),
+                np.zeros(1, dtype=np.int32))
+
+    monkeypatch.setattr(wp_mod, "unique_words", fake_unique_words)
+    tok = NaiveWP(**kw)
+    tok.train([""], max_vocab)
+    return tok.vocab
+
+
+@pytest.mark.parametrize("scale", [1, 1 << 22, (1 << 24) + 12345])
+def test_wide_score_synthetic_frequencies(monkeypatch, scale):
+    """Training with total occurrences pushed past 2**26 (the old hard
+    cap, VERDICT r2 missing #1) must match the reference algorithm
+    bit-for-bit. scale=1 stays in the narrow-score domain and pins the
+    mini-reference itself against the normal path; the larger scales put
+    fa*fb far beyond 2**53 (128-bit scorer) while leaving tie patterns
+    intact (score ratios are scale-invariant: c/(fa*fb) ~ 1/scale)."""
+    words = ["abcab", "bca", "cab", "aab", "bb", "abab", "ccc", "ba"]
+    base = [31, 17, 13, 11, 7, 5, 3, 2]
+    freqs = [b * scale for b in base]
+    got = _train_with_freqs(words, freqs, 40, monkeypatch)
+    want = _mini_reference_wp(words, freqs, 40)
+    assert got == want
+
+
+def test_wide_score_tie_heavy(monkeypatch):
+    """Equal frequencies everywhere -> every step is a pure
+    insertion-order tie-break, with the scores crossing the double
+    rounding boundary in the wide domain."""
+    words = ["aaaa", "aaab", "baaa", "abab"]
+    freqs = [1 << 24, 1 << 24, 1 << 24, 1 << 24]  # total ~2**26.6
+    got = _train_with_freqs(words, freqs, 24, monkeypatch)
+    want = _mini_reference_wp(words, freqs, 24)
+    assert got == want
+
+
+def test_wide_score_just_over_boundary(monkeypatch):
+    """total_tokens exactly at/over 2**26 flips wide_score on; the result
+    must be identical to the mathematically-equal narrow computation."""
+    words = ["abcd", "bcda", "dab"]
+    total = sum(len(w) for w in words)
+    # choose freqs so the weighted total lands just past 2**26
+    f0 = (1 << 26) // total + 1
+    freqs = [f0, f0, f0]
+    got = _train_with_freqs(words, freqs, 20, monkeypatch)
+    want = _mini_reference_wp(words, freqs, 20)
+    assert got == want
+
+
+def test_cap_is_2_52(monkeypatch):
+    import numpy as np
+
+    from subword_tokenizers_tpu.models import wordpiece as wp_mod
+
+    def fake_unique_words(wb):
+        return (["ab"], np.asarray([1 << 51], dtype=np.int64),
+                np.zeros(1, dtype=np.int32))
+
+    monkeypatch.setattr(wp_mod, "unique_words", fake_unique_words)
+    tok = NaiveWP()
+    with pytest.raises(ValueError, match="2\\*\\*52"):
+        tok.train([""], 10)
+
+
+def test_wide_score_sharded(monkeypatch):
+    """The tiered sharded reduction in the wide-score regime (128-bit
+    scorer + certificate denominator-overflow veto) must match the
+    reference algorithm."""
+    from subword_tokenizers_tpu.parallel.mesh import make_data_mesh
+
+    words = ["abcab", "bca", "cab", "aab", "bb", "abab", "ccc", "ba",
+             "cba", "bac"]
+    freqs = [b * (1 << 23) for b in [31, 17, 13, 11, 7, 5, 3, 2, 19, 23]]
+    mesh = make_data_mesh(8)
+    got = _train_with_freqs(words, freqs, 40, monkeypatch, mesh=mesh)
+    want = _mini_reference_wp(words, freqs, 40)
+    assert got == want
