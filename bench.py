@@ -7,14 +7,22 @@ prints LAST:
 
   {"metric": "<name>", "value": N, "unit": "MB/s", "vs_baseline": N}
 
-Metrics and 1-CPU-core reference baselines (BASELINE.md):
-  fastbpe_encode_MBps     vs 0.569   (pan_tadeusz x16, pretrained 20k)
-  naivebpe_encode_MBps    vs 0.001
-  naivewp_encode_MBps     vs 1.249
-  fastwp_encode_85k_MBps  vs 1.463   (7.4 MB corpus — device-bound regime)
-  naivebpe_train_MBps     vs 0.004016 (train-5K @ vocab 1000, 120.65 s)
-  naivewp_train_MBps      vs 0.002707 (train-5K @ vocab 1000, 179.01 s)
-  fastwp_encode_MBps      vs 1.463   (headline)
+Baselines are SAME-HOST: tools/baseline_host2.jsonl holds the reference
+implementation re-measured on this host by tools/rebaseline.py (the
+container was rescheduled onto slower hardware in round 2, so the
+original BASELINE.md numbers — kept as fallback constants — would
+overstate vs_baseline for train and understate it for encode).
+
+Metrics (reference baselines on the current host, BASELINE.host2.md):
+  fastbpe_encode_MBps      vs 0.273   (pan_tadeusz x16, pretrained 20k)
+  naivebpe_encode_MBps     vs 0.000479
+  naivewp_encode_MBps      vs 0.627
+  fastwp_encode_85k_MBps   vs 1.398   (7.4 MB corpus — device-bound regime)
+  naivebpe_train_MBps      vs 0.002808 (train-5K @ vocab 1000, 183.5 s)
+  naivewp_train_MBps       vs 0.002096 (train-5K @ vocab 1000, 246.0 s)
+  naivebpe_train_8k_MBps   vs 0.000362 (train-5K[:2500] @ vocab 8000,
+                                        647.4 s — the scale config)
+  fastwp_encode_MBps       vs 1.154   (headline)
 
 The default TPU backend's remote XLA compiles can take minutes per
 program; the child process appends each finished metric to a results file
@@ -28,6 +36,10 @@ import sys
 import tempfile
 import time
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+# Original-host fallbacks (BASELINE.md) — overridden below by the
+# same-host measurements when tools/baseline_host2.jsonl exists.
 BASELINES = {
     "fastwp_encode_MBps": 1.463,
     "fastwp_encode_85k_MBps": 1.463,
@@ -36,16 +48,44 @@ BASELINES = {
     "naivewp_encode_MBps": 1.249,
     "naivebpe_train_MBps": 484493 / 120.65 / 1e6,
     "naivewp_train_MBps": 484493 / 179.01 / 1e6,
+    "naivebpe_train_8k_MBps": 0.000362,  # measured on host2 only
 }
+
+_REBASE_MAP = {
+    "ref_FastWordPiece_encode": "fastwp_encode_MBps",
+    "ref_FastWordPiece_encode_85k": "fastwp_encode_85k_MBps",
+    "ref_FastBPE_encode": "fastbpe_encode_MBps",
+    "ref_NaiveBPE_encode": "naivebpe_encode_MBps",
+    "ref_NaiveWordPiece_encode": "naivewp_encode_MBps",
+    "ref_NaiveBPE_train_1000": "naivebpe_train_MBps",
+    "ref_NaiveWordPiece_train_1000": "naivewp_train_MBps",
+    "ref_NaiveBPE_train_8000_t5k2500": "naivebpe_train_8k_MBps",
+}
+
+
+def _load_same_host_baselines():
+    path = os.path.join(ROOT, "tools/baseline_host2.jsonl")
+    try:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                name = _REBASE_MAP.get(rec.get("metric"))
+                if name and rec.get("MBps"):
+                    BASELINES[name] = rec["MBps"]
+    except OSError:
+        pass
+
+
+_load_same_host_baselines()
+
 # Emission order; the headline must be the last line on stdout.
 ORDER = ["fastbpe_encode_MBps", "naivebpe_encode_MBps",
          "naivewp_encode_MBps", "naivebpe_train_MBps",
-         "naivewp_train_MBps", "fastwp_encode_85k_MBps",
-         "fastwp_encode_MBps"]
+         "naivewp_train_MBps", "naivebpe_train_8k_MBps",
+         "fastwp_encode_85k_MBps", "fastwp_encode_MBps"]
 REPLICAS = 16
 TPU_TIMEOUT_S = 3000
 CPU_TIMEOUT_S = 1500
-ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
@@ -106,6 +146,15 @@ def measure(results_path):
         jax.config.update("jax_enable_x64", True)
 
     from subword_tokenizers_tpu import FastBPE, FastWP, NaiveBPE, NaiveWP
+    from subword_tokenizers_tpu.benchmarks import profiling
+
+    # SWT_PROFILE=1: per-phase wall-clock report (front end / pack / scan /
+    # stitch, device block / record fetch / shrink) to stderr after each
+    # metric. SWT_TRACE=<dir>: jax.profiler trace of the headline encode.
+    def phase_report(tag):
+        if profiling.enabled():
+            log(f"[bench] phases after {tag}:\n" + profiling.report_str())
+            profiling.reset()
 
     with open("/root/reference/data/pan_tadeusz.json") as f:
         corpus = json.load(f)
@@ -116,8 +165,13 @@ def measure(results_path):
     log(f"devices: {jax.devices()}")
 
     # Headline first so a watchdog timeout still captures it.
-    _bench_encode(results_path, "fastwp_encode_MBps", FastWP,
-                  "FastWordPiece", corpus, golden["FastWordPiece"])
+    import contextlib
+    trace_dir = os.environ.get("SWT_TRACE")
+    with (profiling.trace(trace_dir) if trace_dir
+          else contextlib.nullcontext()):
+        _bench_encode(results_path, "fastwp_encode_MBps", FastWP,
+                      "FastWordPiece", corpus, golden["FastWordPiece"])
+    phase_report("fastwp_encode")
 
     # Training (train-5K @ vocab 1000, golden-fixture-gated).  On the TPU
     # backend a warmup run absorbs compilation (the reference pays no
@@ -143,8 +197,10 @@ def measure(results_path):
 
     _bench_train(results_path, "naivebpe_train_MBps", NaiveBPE, train5k,
                  t5k_bytes, check_bpe, warm=not on_cpu)
+    phase_report("naivebpe_train")
     _bench_train(results_path, "naivewp_train_MBps", NaiveWP, train5k,
                  t5k_bytes, check_wp, warm=not on_cpu)
+    phase_report("naivewp_train")
 
     # Remaining encoders on the conformance corpus.
     _bench_encode(results_path, "fastbpe_encode_MBps", FastBPE,
@@ -173,6 +229,31 @@ def measure(results_path):
         tok.tokenize_batch(big)  # full-shape warmup
         best = _time_best(lambda: tok.tokenize_batch(big), 2)
         _emit(results_path, "fastwp_encode_85k_MBps", nbytes / best / 1e6)
+
+    # Scale training: train-5K[:2500] @ vocab 8000 (the deep-vocab golden
+    # config, tests/golden/t5k2500_v8000_merges.json). Runs LAST so a
+    # watchdog timeout keeps every other metric; the reference takes
+    # 647 s at this config on this host (BASELINE.host2.md).
+    with open(os.path.join(ROOT, "tests/golden/"
+                           "t5k2500_v8000_merges.json")) as f:
+        gold_8k = [tuple(p) for p in json.load(f)]
+    t25 = train5k[:2500]
+    t25_bytes = sum(len(s.encode("utf-8")) for s in t25)
+
+    def check_8k(tok):
+        assert tok.merges_list == gold_8k, \
+            "naivebpe_train_8k: merges diverge from golden — refusing"
+
+    tok = NaiveBPE()
+    if not on_cpu:
+        tok.train(t25, 8000)  # compile warmup (same shapes)
+        check_8k(tok)
+    t0 = time.perf_counter()
+    tok.train(t25, 8000)
+    dt = time.perf_counter() - t0
+    check_8k(tok)
+    _emit(results_path, "naivebpe_train_8k_MBps", t25_bytes / dt / 1e6)
+    phase_report("naivebpe_train_8k")
 
 
 def _read_results(path):

@@ -7,10 +7,18 @@ wall-clock timers; here we add structured timing and XLA traces).
   by benchmark scripts; emits a structured dict (JSON-ready).
 - :func:`throughput_report` — canonical bytes/s / tokens/s summary in the
   shape BASELINE.md uses (MB/s per chip is the primary metric).
+- :func:`phase` / :func:`report` / :func:`reset` — the *production* hook:
+  the fused training loop (ops/train_loop.run_fused) and the sliced
+  encode driver (ops/wp_encode_e2e) wrap their stages in
+  ``profiling.phase("...")``. Off by default (a single module-bool check
+  per block); enabled with ``SWT_PROFILE=1`` or :func:`enable`, after
+  which :func:`report` returns per-phase totals/counts/means and bench.py
+  prints them to stderr.
 """
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 from typing import Dict, Iterator, Optional
@@ -58,6 +66,51 @@ class StepTimer:
             }
             for name in self._total
         }
+
+
+# --------------------------------------------------- production phase hook
+
+_enabled = os.environ.get("SWT_PROFILE", "") not in ("", "0")
+_timer = StepTimer()
+
+
+def enable(on: bool = True) -> None:
+    """Turn the global phase profiler on/off programmatically."""
+    global _enabled
+    _enabled = on
+
+
+def enabled() -> bool:
+    return _enabled
+
+
+@contextlib.contextmanager
+def phase(name: str) -> Iterator[None]:
+    """Time a named stage of a production path; near-free when disabled."""
+    if not _enabled:
+        yield
+        return
+    with _timer.phase(name):
+        yield
+
+
+def reset() -> None:
+    global _timer
+    _timer = StepTimer()
+
+
+def report() -> Dict[str, Dict[str, float]]:
+    """Per-phase totals across everything run since :func:`reset`."""
+    return _timer.report()
+
+
+def report_str() -> str:
+    """One-line-per-phase human summary (sorted by total time)."""
+    rep = report()
+    rows = sorted(rep.items(), key=lambda kv: -kv[1]["total_s"])
+    return "\n".join(
+        f"  {name:<28} {v['total_s']*1e3:10.1f} ms  x{v['count']:<6d} "
+        f"mean {v['mean_s']*1e3:8.3f} ms" for name, v in rows)
 
 
 def throughput_report(n_bytes: int, n_tokens: int, seconds: float,

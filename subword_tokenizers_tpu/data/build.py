@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+from itertools import islice
 from typing import Any, Dict, List, Optional
 
 DATASET = "ipipan/nlprepl"
@@ -22,17 +23,17 @@ SPLITS = ["train", "test", "validation"]
 
 def build_dataset(dataset_splits: Dict[str, Any], feature_name: str,
                   num_examples: Optional[int] = None) -> List[str]:
-    """Combine split iterables into one list of text samples
-    (reference: source/data.py:12-39)."""
-    clean: List[str] = []
-    for _, dataset in dataset_splits.items():
-        for example in dataset:
-            value = example.get(feature_name)
-            if value is not None:
-                clean.append(value)
-                if num_examples is not None and len(clean) >= num_examples:
-                    return clean
-    return clean
+    """Combine split iterables into one (optionally capped) list of the
+    non-null ``feature_name`` values, splits in dict order (behaviour of
+    reference source/data.py:12-39). Quirk preserved: the reference checks
+    the cap *after* appending, so ``num_examples <= 0`` still yields one
+    element when any exists."""
+    texts = (value
+             for split in dataset_splits.values()
+             for example in split
+             if (value := example.get(feature_name)) is not None)
+    return list(texts if num_examples is None
+                else islice(texts, max(num_examples, 1)))
 
 
 def main(output_path: str = "data/train.json",

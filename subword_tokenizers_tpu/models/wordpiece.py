@@ -35,6 +35,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..benchmarks import profiling
 from ..core.corpus import build_wp_corpus, unique_words
 from ..core.symbols import SymbolTable
 from ..frontend.charclass import PUNC_PY, WS_PY, codepoints
@@ -868,7 +869,8 @@ class FastWP(NaiveWP):
             binding._load()
         except Exception:
             return None
-        prep = binding.encode_prep(corpus)
+        with profiling.phase("encode.native_prep"):
+            prep = binding.encode_prep(corpus)
         if prep is None:
             return None
         inverse, bounds, uniq_buf, uniq_off, uniq_len = prep
@@ -878,12 +880,14 @@ class FastWP(NaiveWP):
         # +2 for the trailing space + boundary lookback; rounded to a
         # multiple of 8 so compiled scan shapes repeat across corpora.
         Lc = -(-(int(uniq_len.max()) + 2) // 8) * 8
-        mat16 = binding.pack_u16_rows(uniq_buf, uniq_off, uniq_len, Lc,
-                                      trie.alpha)
+        with profiling.phase("encode.pack_u16"):
+            mat16 = binding.pack_u16_rows(uniq_buf, uniq_off, uniq_len, Lc,
+                                          trie.alpha)
         uslen = (uniq_len + 1).astype(np.int32)  # + trailing space
         out_ids, out_n, out_table = self._run_e2e_prepacked(mat16, uslen)
-        return binding.stitch(out_table.strings(), out_ids, out_n,
-                              inverse, bounds)
+        with profiling.phase("encode.stitch"):
+            return binding.stitch(out_table.strings(), out_ids, out_n,
+                                  inverse, bounds)
 
     def _run_e2e_prepacked(self, mat16, uslen):
         """Sliced scan over an already-packed u16 wire matrix (the fused
@@ -910,12 +914,13 @@ class FastWP(NaiveWP):
         node_info, goto_dev = dev_cache.get(dev)
         ctx = jax.default_device(dev) if dev is not None else \
             contextlib.nullcontext()
-        with ctx:
+        with ctx, profiling.phase("encode.scan_dispatch"):
             out, out_n, ovf, stuck, crash = sliced_e2e_scan_u16(
                 mat16, uslen, goto_dev, node_info, trie.root_p,
                 trie.root_sharp, self._unk_id, sharp_seq, n_pops)
-        return self._finish_e2e(out, out_n, ovf, stuck, crash, out_table,
-                                raw=True)
+        with profiling.phase("encode.scan_fetch"):
+            return self._finish_e2e(out, out_n, ovf, stuck, crash,
+                                    out_table, raw=True)
 
     def _scan_and_stitch(self, umat, uslen, inverse, sid, S, n_uniq):
         bounds = np.searchsorted(sid, np.arange(S + 1, dtype=sid.dtype))

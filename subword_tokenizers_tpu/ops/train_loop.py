@@ -29,6 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..benchmarks import profiling
 from .merge import apply_merge
 from .pairstats import (_consts, _run_aggregate, _select, pack_pairs,
                         symbol_freqs, wp_select_core)
@@ -316,17 +317,21 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
     done = False
     while not done:
         if flat:
-            state, recs = flat_train_steps(
+            with profiling.phase("train.device_block"):
+                state, recs = flat_train_steps(
                 carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
-                carry[6], carry[7], carry[8], pw1_d, pw2_d, sh1, sh2,
-                jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
-                cand_cap, wide_score)
+                    carry[6], carry[7], carry[8], pw1_d, pw2_d, sh1, sh2,
+                    jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
+                    cand_cap, wide_score)
         else:
-            state, recs = train_steps(
-                carry[0], freq_dev, carry[1], carry[2], carry[3], carry[4],
-                carry[5], pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
-                narrow, sym_cap, wordpiece, cand_cap, wide_score)
-        recs_np = jax.device_get(recs)
+            with profiling.phase("train.device_block"):
+                state, recs = train_steps(
+                    carry[0], freq_dev, carry[1], carry[2], carry[3],
+                    carry[4], carry[5], pw1_d, pw2_d, sh1, sh2,
+                    jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
+                    cand_cap, wide_score)
+        with profiling.phase("train.fetch_records"):
+            recs_np = jax.device_get(recs)
         steps_done = 0
         for k in range(K):
             if not bool(recs_np["active"][k]):
@@ -361,10 +366,12 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
             live = int(recs_np["n_live"][steps_done - 1])
             if F >= 2 * _FLAT_MIN and live <= F // 2:
                 Fp = F // 2
-                fs_h, wid_h, wgt_h = jax.device_get(
-                    (carry[0], carry[1], carry[2]))
-                carry = (jnp.asarray(fs_h[:Fp]), jnp.asarray(wid_h[:Fp]),
-                         jnp.asarray(wgt_h[:Fp])) + tuple(carry[3:])
+                with profiling.phase("train.shrink"):
+                    fs_h, wid_h, wgt_h = jax.device_get(
+                        (carry[0], carry[1], carry[2]))
+                    carry = (jnp.asarray(fs_h[:Fp]),
+                             jnp.asarray(wid_h[:Fp]),
+                             jnp.asarray(wgt_h[:Fp])) + tuple(carry[3:])
                 if wordpiece:
                     # The width change recompiles anyway; shrink the
                     # candidate buffer (exact-double scoring cost) along

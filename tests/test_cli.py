@@ -83,3 +83,30 @@ def test_benchmark_flag_validation(workdir):
               "--benchmark", "train.json", "--compare"])  # needs 2 models
     with pytest.raises(SystemExit):
         main(["--model", "NaiveBPE", "--benchmark", "nope.txt"])
+
+
+def test_build_dataset_matches_reference():
+    """build_dataset vs the live reference (source/data.py:12-39),
+    including the cap-checked-after-append quirk at num_examples <= 0."""
+    import sys
+
+    from ref_oracle import REFERENCE_PATH, reference_available
+    if not reference_available():
+        import pytest
+        pytest.skip("reference repo not mounted")
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import source.data as ref_data
+
+    from subword_tokenizers_tpu.data.build import build_dataset
+
+    splits = {
+        "train": [{"text": "a"}, {"other": 1}, {"text": None},
+                  {"text": "b"}],
+        "test": [{"text": "c"}],
+        "validation": [{"text": "d"}, {"text": "e"}],
+    }
+    for cap in (None, 0, 1, 3, 4, 99):
+        assert build_dataset(splits, "text", cap) == \
+            ref_data.build_dataset(splits, "text", cap), cap
+    assert build_dataset({}, "text") == ref_data.build_dataset({}, "text")
