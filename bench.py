@@ -272,6 +272,12 @@ def _run_child(backend: str, timeout_s: int, results_path: str):
     env = dict(os.environ)
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
+    elif env.get("JAX_PLATFORMS") == "axon":
+        # The shell profile exports JAX_PLATFORMS=axon, but the axon
+        # plugin registers its platform as 'tpu' (observed after the r3
+        # host/plugin update) — the stale name makes jax fail at backend
+        # init. Unset and let jax auto-pick the TPU.
+        del env["JAX_PLATFORMS"]
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--measure",

@@ -133,6 +133,10 @@ class NaiveBPE(SubwordTokenizer):
             corpus_arrays.sym.shape[1] - 1, 1)
         narrow = (max_vocab + len(table) + 8 < (1 << 16)
                   and total_tokens < 2**31 and n_pos < 2**31)
+        # i32 weights whenever the total fits — with wide keys this keeps
+        # the run aggregation off the TPU-uncompilable emulated-i64 cumsum
+        # (ops/pairstats docstring).
+        w32 = total_tokens < 2**31
         bits = 16 if narrow else 21
         if self.mesh is not None:
             from ..parallel.train import (run_gather_cap, shard_corpus,
@@ -153,25 +157,26 @@ class NaiveBPE(SubwordTokenizer):
                 # otherwise; full position gather only if a shard's
                 # distinct-run cap overflows.
                 bk, bc, bf, proven = sharded_bpe_select_topk(
-                    self.mesh, s, f, narrow)
+                    self.mesh, s, f, narrow, w32=w32)
                 if bool(proven):
                     self._sel_stats["proven"] += 1
                     return bk, bc, bf
                 self._topk_fallbacks += 1
                 bk, bc, bf, exact = sharded_bpe_select_compact(
-                    self.mesh, s, f, narrow, run_cap)
+                    self.mesh, s, f, narrow, run_cap, w32=w32)
                 if bool(exact):
                     self._sel_stats["compact"] += 1
                     return bk, bc, bf
                 self._sel_stats["full"] += 1
-                return sharded_bpe_select(self.mesh, s, f, narrow)
+                return sharded_bpe_select(self.mesh, s, f, narrow,
+                                          w32=w32)
 
             apply_ = lambda s, a, b, n: sharded_apply_merge(self.mesh, s,
                                                             a, b, n)
         else:
             sym = jnp.asarray(corpus_arrays.sym)
             freq_dev = jnp.asarray(corpus_arrays.freq)
-            select = lambda s, f: bpe_select(s, f, narrow)
+            select = lambda s, f: bpe_select(s, f, narrow, w32)
             apply_ = apply_merge
 
         if self._resume_dir is not None:
@@ -217,7 +222,7 @@ class NaiveBPE(SubwordTokenizer):
             try:
                 sym = run_fused(
                     sym, freq_dev, table, max_vocab, narrow, False,
-                    on_merge,
+                    on_merge, w32=w32,
                     checkpoint_cb=(ckpt_cb if self._checkpoint_dir
                                    is not None else None),
                     progress_cb=pbar.update if pbar is not None else None)

@@ -127,6 +127,10 @@ class NaiveWP(SubwordTokenizer):
         # through the 128-bit-denominator divider (ops/bitmath.py) — still
         # bit-exact vs CPython's arbitrary-precision int division.
         wide_score = total_tokens >= WIDE_SCORE_MIN
+        # i32 weights whenever the total fits: with wide keys this is what
+        # keeps the run aggregation compilable on the TPU (the emulated
+        # i64 cumsum is a compile hazard; ops/pairstats docstring).
+        w32 = total_tokens < 2**31
 
         import jax.numpy as jnp
         from ..ops.merge import apply_merge
@@ -166,21 +170,21 @@ class NaiveWP(SubwordTokenizer):
                 # full position gather (cap overflow only).
                 bk, bb, bf, bc, proven = sharded_wp_select_topk(
                     self.mesh, s, f, sym_cap, narrow, cand_cap=cap_local,
-                    wide_score=wide_score)
+                    wide_score=wide_score, w32=w32)
                 if bool(proven):
                     self._sel_stats["proven"] += 1
                     return bk, bb, bf, bc
                 self._topk_fallbacks += 1
                 bk, bb, bf, bc, exact = sharded_wp_select_compact(
                     self.mesh, s, f, sym_cap, narrow, run_cap,
-                    wide_score=wide_score)
+                    wide_score=wide_score, w32=w32)
                 if bool(exact):
                     self._sel_stats["compact"] += 1
                     return bk, bb, bf, bc
                 self._sel_stats["full"] += 1
                 return sharded_wp_select(self.mesh, s, f, sym_cap, narrow,
                                          cand_cap=cap_global,
-                                         wide_score=wide_score)
+                                         wide_score=wide_score, w32=w32)
 
             apply_merge_fn = lambda s, a, b, n: sharded_apply_merge(
                 self.mesh, s, a, b, n)
@@ -189,7 +193,7 @@ class NaiveWP(SubwordTokenizer):
             freq_dev = jnp.asarray(corpus_arrays.freq)
             cap = _cand_cap(n_pos)
             select = lambda s, f: wp_select(s, f, sym_cap, narrow, cap,
-                                            wide_score)
+                                            wide_score, w32)
             apply_merge_fn = apply_merge
 
         if self._resume_dir is not None:
@@ -233,7 +237,7 @@ class NaiveWP(SubwordTokenizer):
             try:
                 sym = run_fused(
                     sym, freq_dev, table, max_vocab, narrow, True,
-                    on_merge, wide_score=wide_score,
+                    on_merge, wide_score=wide_score, w32=w32,
                     checkpoint_cb=(ckpt_cb if self._checkpoint_dir
                                    is not None else None),
                     progress_cb=pbar.update if pbar is not None else None)
@@ -855,11 +859,14 @@ class FastWP(NaiveWP):
 
     def _try_fused_chunked(self, corpus: List[str]):
         """Fused native chunked encode; None when any precondition fails
-        (no toolchain, mesh encode, wide pops/alphabet, or a case-special
-        codepoint that needs exact Python ``str.lower()``)."""
+        (no toolchain, wide pops/alphabet, or a case-special codepoint
+        that needs exact Python ``str.lower()``). Runs under a mesh too:
+        the unique chunks are length-sorted and row-sharded over the data
+        axis (parallel/encode.sharded_e2e_scan_u16) with the trie
+        replicated."""
         trie, out_table = self._trie()
         n_pops = max(trie.max_pops, 1)
-        if (self.mesh is not None or n_pops > 8
+        if (n_pops > 8
                 or trie.n_alpha >= (1 << 13)
                 or not isinstance(corpus, list)
                 or not all(isinstance(s, str) for s in corpus)):
@@ -909,6 +916,35 @@ class FastWP(NaiveWP):
                                   DeviceCache(lambda: (info, trie.goto)))
         dev_cache = self._packed_cache[1]
         sharp_seq = self._sharp_seq if self._sharp_seq is not None else (-2,)
+        if self.mesh is not None:
+            # Row-sharded scan: length-sort so each shard's lockstep loop
+            # exits at its own block's max trip count (blocked sharding
+            # over sorted rows = the mesh analogue of sliced_rows), trie
+            # replicated, order restored after the fetch.
+            from ..parallel.encode import (pad_rows, put_sharded,
+                                           sharded_e2e_scan_u16)
+            node_info, goto_dev = dev_cache.get(None)
+            order = np.argsort(uslen, kind="stable")
+            mat_p, len_p, n_real = pad_rows(self.mesh, mat16[order],
+                                            uslen[order])
+            mat_d, len_d = put_sharded(self.mesh, mat_p, len_p)
+            with profiling.phase("encode.scan_dispatch"):
+                out, out_n, ovf, stuck, crash = sharded_e2e_scan_u16(
+                    self.mesh, mat_d, len_d, goto_dev, node_info,
+                    trie.root_p, trie.root_sharp, self._unk_id,
+                    sharp_seq, n_pops)
+            with profiling.phase("encode.scan_fetch"):
+                out, out_n, ovf, stuck, crash = jax.device_get(
+                    (out, out_n, ovf, stuck, crash))
+            inv = np.empty(uslen.size, dtype=np.int64)
+            inv[order] = np.arange(uslen.size, dtype=np.int64)
+            out = out[:n_real][inv]
+            out_n = out_n[:n_real][inv]
+            ovf = ovf[:n_real][inv]
+            stuck = stuck[:n_real][inv]
+            crash = crash[:n_real][inv]
+            return self._finish_e2e(out, out_n, ovf, stuck, crash,
+                                    out_table, raw=True)
         from ..core.dispatch import scan_device
         dev = scan_device(int(mat16.size))
         node_info, goto_dev = dev_cache.get(dev)

@@ -23,25 +23,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pairstats import _consts, _run_aggregate
+from .pairstats import _consts, _run_aggregate, _wdtype
 
 WID_PAD = np.int32(2**30)
 
 
-def build_flat(sym2d: np.ndarray, freq: np.ndarray, pad_to: int = 1024
+def build_flat(sym2d: np.ndarray, freq: np.ndarray, pad_to: int = 1024,
+               w32: bool = False
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Flatten a padded host tensor into (fs, wid, wgt) with tail padding."""
+    """Flatten a padded host tensor into (fs, wid, wgt) with tail padding.
+
+    ``w32`` stores weights as i32 (valid when the total corpus weight is
+    < 2^31) — less sort traffic per step and, with wide keys, the only
+    layout whose run aggregation compiles on this TPU (see
+    ops/pairstats docstring)."""
     mask = sym2d >= 0
     fs = sym2d[mask].astype(np.int32)
     wid = np.nonzero(mask)[0].astype(np.int32)
-    wgt = freq[wid].astype(np.int64)
+    wgt = freq[wid].astype(np.int32 if w32 else np.int64)
     n = fs.size
     F = -(-max(n, 2) // pad_to) * pad_to
     pad = F - n
     if pad:
         fs = np.concatenate([fs, np.full(pad, -1, np.int32)])
         wid = np.concatenate([wid, np.full(pad, WID_PAD, np.int32)])
-        wgt = np.concatenate([wgt, np.zeros(pad, np.int64)])
+        wgt = np.concatenate([wgt, np.zeros(pad, wgt.dtype)])
     return fs, wid, wgt
 
 
@@ -56,11 +62,10 @@ def flat_pairs(fs: jax.Array, wid: jax.Array, narrow: bool):
     return keys, pos
 
 
-def flat_aggregate(fs, wid, wgt, narrow: bool):
+def flat_aggregate(fs, wid, wgt, narrow: bool, w32: bool = False):
     """(k_s, p_s, run_total, is_cand) over flat pairs."""
-    dt = _consts(narrow)[0]
     keys, pos = flat_pairs(fs, wid, narrow)
-    w = wgt[:-1].astype(dt)
+    w = wgt[:-1].astype(_wdtype(narrow, w32))
     return _run_aggregate(keys, pos, w, narrow)
 
 

@@ -25,12 +25,15 @@ faster), and the i64 path packs ``a << 21 | b`` for larger vocabularies.
 The trainers choose once per run from static bounds. No floating point
 touches the conformance path.
 
-Known TPU limitation of the wide (i64) path: ``jnp.cumsum`` over i64 is
-emulated as a (u32,u32)-tuple reduce-window whose scoped-VMEM footprint
-can fail to *compile* at large corpus sizes (the same mechanism as the
-jnp.nonzero hazard documented at :func:`compact_cands`). Vocabularies
-< 2^16 (the narrow path — including the 32k north-star config) are
-unaffected; 2^16+-vocab training runs on the CPU backend.
+TPU note on i64 scans: ``jnp.cumsum`` over i64 is emulated as a
+(u32,u32)-tuple reduce-window whose scoped-VMEM footprint fails to
+*compile* at large corpus sizes (the same mechanism as the jnp.nonzero
+hazard documented at :func:`compact_cands`). The weight dtype is therefore
+decoupled from the key dtype: whenever the total corpus weight fits i32
+(``w32=True`` — any corpus under 2^31 occurrences), the cumsum/cummin run
+in i32 even when symbol ids need i64 keys, so ≥2^16-symbol training
+compiles and runs on the TPU. Only corpora with ≥2^31 total occurrences
+still need the emulated-i64 scan (CPU backend).
 """
 from __future__ import annotations
 
@@ -62,6 +65,12 @@ def _consts(narrow: bool):
     return (jnp.int64, SYM_BITS, SYM_SPACE, KEY_SENTINEL, I64_MAX)
 
 
+def _wdtype(narrow: bool, w32: bool):
+    """Weight dtype: i32 whenever the total corpus weight fits (see module
+    docstring — the emulated i64 cumsum is a TPU compile hazard)."""
+    return jnp.int32 if (narrow or w32) else jnp.int64
+
+
 def pack_pairs(sym: jax.Array, narrow: bool) -> Tuple[jax.Array, jax.Array]:
     """Pack adjacent pairs of a padded i32 symbol tensor into keys.
 
@@ -91,8 +100,13 @@ def _run_aggregate(keys, pos, w, narrow: bool, w_by_pos: bool = False):
     by sorted position. Measured SLOWER on the TPU (a corpus-sized random
     gather costs ~4x the extra sort operand — sorts are fast here,
     scattered gathers are not); kept only as a documented dead end.
+
+    The run aggregation (cumsum/cummin) runs in ``w``'s dtype — callers
+    pass i32 weights whenever the total corpus weight fits (the emulated
+    i64 scan does not compile at corpus sizes on this TPU; see module
+    docstring).
     """
-    _, _, _, sentinel, vmax = _consts(narrow)
+    _, _, _, sentinel, _ = _consts(narrow)
     if w_by_pos:
         k_s, p_s = jax.lax.sort((keys, pos), num_keys=2)
         w_s = w[p_s]
@@ -106,7 +120,8 @@ def _run_aggregate(keys, pos, w, narrow: bool, w_by_pos: bool = False):
     # (cumsum at nearest run end >= i) - (cumsum before run start). cw is
     # strictly increasing, so the nearest masked value to the right is the
     # reverse running minimum.
-    end_cum = jax.lax.cummin(jnp.where(is_end, cw, vmax), axis=0,
+    wmax = jnp.asarray(jnp.iinfo(w_s.dtype).max, dtype=w_s.dtype)
+    end_cum = jax.lax.cummin(jnp.where(is_end, cw, wmax), axis=0,
                              reverse=True)
     run_total = end_cum - (cw - w_s)
     is_cand = is_start & (k_s != sentinel)
@@ -127,17 +142,18 @@ def _select(k_s, p_s, metric, is_cand):
     return best_key, best_metric, best_fs
 
 
-@partial(jax.jit, static_argnames=("narrow",))
-def bpe_select(sym: jax.Array, freq: jax.Array, narrow: bool = False):
+@partial(jax.jit, static_argnames=("narrow", "w32"))
+def bpe_select(sym: jax.Array, freq: jax.Array, narrow: bool = False,
+               w32: bool = False):
     """One BPE selection: most frequent pair, first-seen tie-break.
 
     Returns (best_key, best_count, best_first_seen). ``best_count <= 0``
     means no pairs remain (reference exit: source/bpe.py:98-99).
     """
-    dt = _consts(narrow)[0]
+    wdt = _wdtype(narrow, w32)
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
-    w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
+    w = jnp.broadcast_to(freq.astype(wdt)[:, None], (n, L - 1)).reshape(-1)
     k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
     return _select(k_s, p_s, run_total, is_cand)
 
@@ -245,10 +261,10 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
 
 
 @partial(jax.jit, static_argnames=("sym_cap", "narrow", "cand_cap",
-                                   "wide_score"))
+                                   "wide_score", "w32"))
 def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
               narrow: bool = False, cand_cap=None,
-              wide_score: bool = False):
+              wide_score: bool = False, w32: bool = False):
     """One WordPiece selection: max score ``pair/(fa*fb)``, first-seen
     tie-break, with score compared as the exact Python double.
 
@@ -257,14 +273,14 @@ def wp_select(sym: jax.Array, freq: jax.Array, sym_cap: int,
     every position). Returns (best_key, best_score_bits, best_first_seen,
     best_count).
     """
-    dt, _, _, _, _ = _consts(narrow)
+    wdt = _wdtype(narrow, w32)
     n, L = sym.shape
     keys, pos = pack_pairs(sym, narrow)
-    w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
+    w = jnp.broadcast_to(freq.astype(wdt)[:, None], (n, L - 1)).reshape(-1)
     k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
     flat = sym.reshape(-1)
-    wsym = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L)).reshape(-1)
+    wsym = jnp.broadcast_to(freq.astype(wdt)[:, None], (n, L)).reshape(-1)
     sym_freq = symbol_freqs(flat, wsym, sym_cap)
 
     return wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow,

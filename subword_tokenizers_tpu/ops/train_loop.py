@@ -31,8 +31,8 @@ import jax.numpy as jnp
 
 from ..benchmarks import profiling
 from .merge import apply_merge
-from .pairstats import (_consts, _run_aggregate, _select, pack_pairs,
-                        symbol_freqs, wp_select_core)
+from .pairstats import (_consts, _run_aggregate, _select, _wdtype,
+                        pack_pairs, symbol_freqs, wp_select_core)
 
 MOD = (1 << 31) - 1  # Mersenne prime; products stay exact in i64
 HASH_B1 = 1_000_003
@@ -123,10 +123,10 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
 
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "cand_cap", "wide_score"))
+                                   "cand_cap", "wide_score", "w32"))
 def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
                 sharp_h1, sharp_h2, max_vocab, K, narrow, sym_cap,
-                wordpiece, cand_cap=None, wide_score=False):
+                wordpiece, cand_cap=None, wide_score=False, w32=False):
     """Run up to K merge steps on device (padded [n, L] corpus layout).
 
     sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
@@ -134,21 +134,21 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
     base powers (P > max mergeable symbol length); sharp_h1/2: hashes of
     the literal "##". Returns (new state..., records dict of [K] arrays).
     """
-    dt, _, _, _, _ = _consts(narrow)
+    wdt = _wdtype(narrow, w32)
 
     def step(carry, _):
         sym, h1, h2, slen, n_sym, vocab_size, alive = carry
         n, L = sym.shape
 
         keys, pos = pack_pairs(sym, narrow)
-        w = jnp.broadcast_to(freq.astype(dt)[:, None],
+        w = jnp.broadcast_to(freq.astype(wdt)[:, None],
                              (n, L - 1)).reshape(-1)
         k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
         sym_freq = None
         if wordpiece:
             flat = sym.reshape(-1)
-            wsym = jnp.broadcast_to(freq.astype(dt)[:, None],
+            wsym = jnp.broadcast_to(freq.astype(wdt)[:, None],
                                     (n, L)).reshape(-1)
             sym_freq = symbol_freqs(flat, wsym, sym_cap)
 
@@ -172,11 +172,11 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
 
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "cand_cap", "wide_score"))
+                                   "cand_cap", "wide_score", "w32"))
 def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                      vocab_size, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
                      K, narrow, sym_cap, wordpiece, cand_cap=None,
-                     wide_score=False):
+                     wide_score=False, w32=False):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
     intra-word padding).
@@ -194,7 +194,8 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
         (fs, wid, wgt, sym_freq, h1, h2, slen, n_sym, vocab_size,
          alive) = carry
 
-        k_s, p_s, run_total, is_cand = flat_aggregate(fs, wid, wgt, narrow)
+        k_s, p_s, run_total, is_cand = flat_aggregate(fs, wid, wgt, narrow,
+                                                       w32)
 
         (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
          matched) = _select_and_unify(
@@ -252,7 +253,8 @@ def _cand_cap(n_pairs: int):
 
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
               on_merge, K: int = 64, checkpoint_cb=None, progress_cb=None,
-              flat: bool = True, wide_score: bool = False):
+              flat: bool = True, wide_score: bool = False,
+              w32: bool = False):
     """Host driver for the K-step device loop.
 
     ``table`` is the live SymbolTable (vocabulary == its string set for
@@ -289,14 +291,13 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
 
     if flat:
         from .flat import build_flat
-        from .pairstats import _consts
         sym_host = np.asarray(sym_dev)
         freq_host = np.asarray(freq_dev)
-        fs, wid, wgt = build_flat(sym_host, freq_host)
+        fs, wid, wgt = build_flat(sym_host, freq_host, w32=(narrow or w32))
         # Initial per-symbol weights (host, exact integers); carried and
         # updated incrementally on device thereafter.
         sfreq = np.zeros(sym_cap + 1,
-                         dtype=np.int32 if narrow else np.int64)
+                         dtype=np.int32 if (narrow or w32) else np.int64)
         np.add.at(sfreq, np.where(fs >= 0, fs, sym_cap),
                   np.where(fs >= 0, wgt, 0).astype(sfreq.dtype))
         carry = (jnp.asarray(fs), jnp.asarray(wid), jnp.asarray(wgt),
@@ -322,14 +323,14 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                 carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
                     carry[6], carry[7], carry[8], pw1_d, pw2_d, sh1, sh2,
                     jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
-                    cand_cap, wide_score)
+                    cand_cap, wide_score, w32)
         else:
             with profiling.phase("train.device_block"):
                 state, recs = train_steps(
                     carry[0], freq_dev, carry[1], carry[2], carry[3],
                     carry[4], carry[5], pw1_d, pw2_d, sh1, sh2,
                     jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
-                    cand_cap, wide_score)
+                    cand_cap, wide_score, w32)
         with profiling.phase("train.fetch_records"):
             recs_np = jax.device_get(recs)
         steps_done = 0

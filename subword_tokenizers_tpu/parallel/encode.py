@@ -16,7 +16,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.wp_encode_e2e import wp_e2e_scan
+from ..ops.wp_encode_e2e import wp_e2e_scan, wp_e2e_scan_u16
 from .mesh import DATA_AXIS
 
 
@@ -38,6 +38,29 @@ def sharded_e2e_scan(mesh, pchar, slen, goto_table, node_info, root_p,
                            root_sharp, unk_id, sharp_seq, n_pops)
 
     return run(pchar, slen, goto_table, node_info)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "root_p", "root_sharp", "unk_id",
+                          "sharp_seq", "n_pops"))
+def sharded_e2e_scan_u16(mesh, pchar16, slen, goto_table, node_info,
+                         root_p, root_sharp, unk_id, sharp_seq, n_pops):
+    """Row-sharded u16-wire scan (the fused native front end's wire
+    format). Each shard's lockstep while_loop exits at its own rows' max
+    trip count — callers length-sort rows before sharding so blocked
+    shards carry homogeneous lengths (the mesh analogue of
+    core/batching.sliced_rows)."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                        P(DATA_AXIS), P(DATA_AXIS)),
+             check_vma=False)
+    def run(pchar_l, slen_l, goto_l, info_l):
+        return wp_e2e_scan_u16(pchar_l, slen_l, goto_l, info_l, root_p,
+                               root_sharp, unk_id, sharp_seq, n_pops)
+
+    return run(pchar16, slen, goto_table, node_info)
 
 
 def pad_rows(mesh, *arrays):

@@ -48,7 +48,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.bitmath import bitlen
-from ..ops.pairstats import (_consts, _run_aggregate, _select,
+from ..ops.pairstats import (_consts, _run_aggregate, _select, _wdtype,
                              compact_cands, symbol_freqs, wp_score_bits,
                              wp_select_core)
 from .mesh import DATA_AXIS
@@ -75,8 +75,12 @@ _SAT = jnp.int64(1) << 55  # per-shard saturation; psum stays < 2^63 for
                            # any realistic device count
 
 
-def _local_pairs(sym, freq, narrow: bool = False):
-    """Local (keys, global_pos, weights) with shard-offset positions."""
+def _local_pairs(sym, freq, narrow: bool = False, w32: bool = False):
+    """Local (keys, global_pos, weights) with shard-offset positions.
+
+    Weights take :func:`~..ops.pairstats._wdtype` — i32 whenever the total
+    corpus weight fits, which keeps the downstream run aggregation off the
+    TPU-uncompilable emulated-i64 cumsum even with wide keys."""
     dt, bits, _, sentinel, _ = _consts(narrow)
     n, L = sym.shape
     a = sym[:, :-1].astype(dt)
@@ -85,7 +89,8 @@ def _local_pairs(sym, freq, narrow: bool = False):
     keys = jnp.where(valid, (a << bits) | b, sentinel).reshape(-1)
     shard = jax.lax.axis_index(DATA_AXIS).astype(dt)
     pos = jnp.arange(n * (L - 1), dtype=dt) + shard * (n * (L - 1))
-    w = jnp.broadcast_to(freq.astype(dt)[:, None], (n, L - 1)).reshape(-1)
+    w = jnp.broadcast_to(freq.astype(_wdtype(narrow, w32))[:, None],
+                         (n, L - 1)).reshape(-1)
     return keys, pos, w
 
 
@@ -110,8 +115,9 @@ def _lookup_runs(k_s, p_s, run_total, cand, sentinel, pos_max):
 
 # --------------------------------------------------------------- exact path
 
-@partial(jax.jit, static_argnames=("mesh", "narrow"))
-def sharded_bpe_select(mesh, sym, freq, narrow: bool = False):
+@partial(jax.jit, static_argnames=("mesh", "narrow", "w32"))
+def sharded_bpe_select(mesh, sym, freq, narrow: bool = False,
+                       w32: bool = False):
     """Exact global BPE selection: all_gather the full pair statistics
     (O(corpus) comm — the certificate-failure fallback).
 
@@ -121,7 +127,7 @@ def sharded_bpe_select(mesh, sym, freq, narrow: bool = False):
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(), P(), P()), check_vma=False)
     def step(sym_l, freq_l):
-        keys, pos, w = _local_pairs(sym_l, freq_l, narrow)
+        keys, pos, w = _local_pairs(sym_l, freq_l, narrow, w32)
         keys_g = jax.lax.all_gather(keys, DATA_AXIS, tiled=True)
         pos_g = jax.lax.all_gather(pos, DATA_AXIS, tiled=True)
         w_g = jax.lax.all_gather(w, DATA_AXIS, tiled=True)
@@ -133,23 +139,24 @@ def sharded_bpe_select(mesh, sym, freq, narrow: bool = False):
 
 
 @partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "cand_cap",
-                                   "wide_score"))
+                                   "wide_score", "w32"))
 def sharded_wp_select(mesh, sym, freq, sym_cap, narrow: bool = False,
-                      cand_cap=None, wide_score: bool = False):
+                      cand_cap=None, wide_score: bool = False,
+                      w32: bool = False):
     """Exact global WordPiece selection over all_gather'd pair statistics
     (the certificate-failure fallback). Scoring and tie-breaks go through
     the same :func:`~..ops.pairstats.wp_select_core` as every other path.
 
     Returns replicated (best_key, best_bits, best_first_seen, best_count).
     """
-    dt = _consts(narrow)[0]
+    wdt = _wdtype(narrow, w32)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(), P(), P(), P()), check_vma=False)
     def step(sym_l, freq_l):
-        sym_freq = _local_sym_freq(sym_l, freq_l, sym_cap, dt)
-        keys, pos, w = _local_pairs(sym_l, freq_l, narrow)
+        sym_freq = _local_sym_freq(sym_l, freq_l, sym_cap, wdt)
+        keys, pos, w = _local_pairs(sym_l, freq_l, narrow, w32)
         keys_g = jax.lax.all_gather(keys, DATA_AXIS, tiled=True)
         pos_g = jax.lax.all_gather(pos, DATA_AXIS, tiled=True)
         w_g = jax.lax.all_gather(w, DATA_AXIS, tiled=True)
@@ -163,8 +170,9 @@ def sharded_wp_select(mesh, sym, freq, sym_cap, narrow: bool = False,
 
 # ---------------------------------------------- compacted-runs exact path
 
-@partial(jax.jit, static_argnames=("mesh", "narrow", "cap"))
-def sharded_bpe_select_compact(mesh, sym, freq, narrow: bool, cap: int):
+@partial(jax.jit, static_argnames=("mesh", "narrow", "cap", "w32"))
+def sharded_bpe_select_compact(mesh, sym, freq, narrow: bool, cap: int,
+                               w32: bool = False):
     """Exact global BPE selection over *compacted local runs*: every shard
     gathers only its distinct (key, count, min-position) runs (≤ ``cap``
     each — distinct pairs measure ~9x fewer than positions), and the
@@ -181,7 +189,7 @@ def sharded_bpe_select_compact(mesh, sym, freq, narrow: bool, cap: int):
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(), P(), P(), P()), check_vma=False)
     def step(sym_l, freq_l):
-        keys, pos, w = _local_pairs(sym_l, freq_l, narrow)
+        keys, pos, w = _local_pairs(sym_l, freq_l, narrow, w32)
         k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
         ck, cp, cc, cmask, ovf = compact_cands(k_s, p_s, run_total,
                                                is_cand, cap, narrow)
@@ -197,23 +205,24 @@ def sharded_bpe_select_compact(mesh, sym, freq, narrow: bool, cap: int):
 
 
 @partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "cap",
-                                   "wide_score"))
+                                   "wide_score", "w32"))
 def sharded_wp_select_compact(mesh, sym, freq, sym_cap, narrow: bool,
-                              cap: int, wide_score: bool = False):
+                              cap: int, wide_score: bool = False,
+                              w32: bool = False):
     """Exact global WordPiece selection over compacted local runs (see
     :func:`sharded_bpe_select_compact`); scoring goes through the shared
     :func:`~..ops.pairstats.wp_select_core`.
 
     Returns replicated (best_key, best_bits, best_first_seen, best_count,
     exact)."""
-    dt = _consts(narrow)[0]
+    wdt = _wdtype(narrow, w32)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(), P(), P(), P(), P()), check_vma=False)
     def step(sym_l, freq_l):
-        sym_freq = _local_sym_freq(sym_l, freq_l, sym_cap, dt)
-        keys, pos, w = _local_pairs(sym_l, freq_l, narrow)
+        sym_freq = _local_sym_freq(sym_l, freq_l, sym_cap, wdt)
+        keys, pos, w = _local_pairs(sym_l, freq_l, narrow, w32)
         k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
         ck, cp, cc, cmask, ovf = compact_cands(k_s, p_s, run_total,
                                                is_cand, cap, narrow)
@@ -236,9 +245,9 @@ def sharded_wp_select_compact(mesh, sym, freq, sym_cap, narrow: bool,
 
 # ----------------------------------------------------------- two-phase path
 
-@partial(jax.jit, static_argnames=("mesh", "narrow", "topk"))
+@partial(jax.jit, static_argnames=("mesh", "narrow", "topk", "w32"))
 def sharded_bpe_select_topk(mesh, sym, freq, narrow: bool = False,
-                            topk: int = TOPK):
+                            topk: int = TOPK, w32: bool = False):
     """Two-phase BPE selection (O(K*D) comm) with a Σ-threshold
     certificate.
 
@@ -251,11 +260,12 @@ def sharded_bpe_select_topk(mesh, sym, freq, narrow: bool = False,
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(), P(), P(), P()), check_vma=False)
     def step(sym_l, freq_l):
-        keys, pos, w = _local_pairs(sym_l, freq_l, narrow)
+        keys, pos, w = _local_pairs(sym_l, freq_l, narrow, w32)
         k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
         # Phase 1: local top-K runs by count.
-        metric = jnp.where(is_cand, run_total, jnp.asarray(-1, dt))
+        metric = jnp.where(is_cand, run_total,
+                           jnp.asarray(-1, run_total.dtype))
         k = min(topk, metric.shape[0])
         topv, topi = jax.lax.top_k(metric, k)
         cand_l = jnp.where(topv > 0, k_s[topi], sentinel)
@@ -284,10 +294,10 @@ def sharded_bpe_select_topk(mesh, sym, freq, narrow: bool = False,
 
 
 @partial(jax.jit, static_argnames=("mesh", "sym_cap", "narrow", "topk",
-                                   "cand_cap", "wide_score"))
+                                   "cand_cap", "wide_score", "w32"))
 def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
                            topk: int = TOPK, cand_cap=None,
-                           wide_score: bool = False):
+                           wide_score: bool = False, w32: bool = False):
     """Two-phase WordPiece selection (O(K*D) comm) with a scaled-integer
     Σ-threshold certificate over the exact rational scores.
 
@@ -300,8 +310,9 @@ def sharded_wp_select_topk(mesh, sym, freq, sym_cap, narrow: bool = False,
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(), P(), P(), P(), P()), check_vma=False)
     def step(sym_l, freq_l):
-        sym_freq = _local_sym_freq(sym_l, freq_l, sym_cap, dt)
-        keys, pos, w = _local_pairs(sym_l, freq_l, narrow)
+        sym_freq = _local_sym_freq(sym_l, freq_l, sym_cap,
+                                   _wdtype(narrow, w32))
+        keys, pos, w = _local_pairs(sym_l, freq_l, narrow, w32)
         k_s, p_s, run_total, is_cand = _run_aggregate(keys, pos, w, narrow)
 
         # Phase 1: local top-K runs by local exact-double score (global

@@ -164,3 +164,69 @@ def test_flat_shrink_bit_exact(monkeypatch):
     shrunk = train(2)  # every block may halve
     assert shrunk == no_shrink
     assert len(shrunk) > 0
+
+
+def test_no_i64_scan_in_wide_w32_step():
+    """Wide keys (>=2^16 symbol ids) with i32 weights: the run aggregation
+    must contain no int64 scan ops, so >=2^16-symbol training compiles on
+    the TPU (VERDICT r2 missing #2 / next #6). The i64 sort is fine; the
+    emulated i64 cumsum/cummin is not."""
+    import jax
+    import jax.numpy as jnp
+    from subword_tokenizers_tpu.ops.pairstats import wp_select
+
+    def step(sym, freq):
+        return wp_select(sym, freq, 1 << 17, narrow=False, cand_cap=32,
+                         w32=True)
+
+    sym = jnp.zeros((16, 8), jnp.int32)
+    freq = jnp.ones((16,), jnp.int64)
+    jaxpr = jax.make_jaxpr(step)(sym, freq)
+
+    def walk(jp, out):
+        for eqn in jp.eqns:
+            if str(eqn.primitive) in ("cumsum", "cummax", "cummin",
+                                      "cumlogsumexp", "cumprod"):
+                out.append(eqn)
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr, out)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if hasattr(x, "jaxpr"):
+                            walk(x.jaxpr, out)
+        return out
+
+    scans = walk(jaxpr.jaxpr, [])
+    bad = [e for e in scans
+           if any(getattr(iv.aval, "dtype", None) == jnp.int64
+                  for iv in e.invars)]
+    assert not bad, f"int64 scan ops in wide/w32 WP step: {bad}"
+
+
+def test_wide_keys_training_matches_reference():
+    """Force the wide-key path (max_vocab pushes sym_cap past 2^16) on a
+    small corpus; BPE merges and WP vocab must match the live reference
+    (which has no notion of key width)."""
+    import pytest
+
+    from ref_oracle import make_reference, reference_available
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    from subword_tokenizers_tpu import NaiveBPE, NaiveWP
+
+    corpus = ["aaa aab abab banana bandana!", "ab ab ab cd cd c d aaaa",
+              "sentence with more words to merge fully"]
+    big = 70_000  # > 2^16: wide keys; corpus exhausts long before
+
+    ref = make_reference("NaiveBPE")
+    ref.train(corpus, big)
+    mine = NaiveBPE()
+    mine.train(corpus, big)
+    assert mine.merges_list == [tuple(p) for p in ref.merges_list]
+
+    wref = make_reference("NaiveWordPiece")
+    wref.train(corpus, big)
+    wmine = NaiveWP()
+    wmine.train(corpus, big)
+    assert wmine.vocab == wref.vocab

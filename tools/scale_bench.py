@@ -8,6 +8,13 @@
   virtual CPU mesh in tests/test_parallel.py).
 
 Run in background; each new shape costs minutes of XLA compile.
+
+``--mesh-encode``: instead of the training runs, compare FastWP batch
+encode (pretrained 20k) on the 85k corpus single-device vs an 8-virtual-
+device CPU mesh (set XLA_FLAGS=--xla_force_host_platform_device_count=8
+JAX_PLATFORMS=cpu) — the fused native front end + row-sharded u16 scan
+(parallel/encode.sharded_e2e_scan_u16) vs the sliced single-device
+driver, outputs asserted identical.
 """
 import json
 import os
@@ -18,7 +25,49 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The env var alone is unreliable here (the axon plugin can still
+    # register); force it.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def mesh_encode():
+    from subword_tokenizers_tpu import FastWP
+    from subword_tokenizers_tpu.parallel.mesh import make_data_mesh
+
+    print("devices:", jax.devices(), flush=True)
+    with open("data/train-85k.json") as f:
+        corpus = json.load(f)
+    nbytes = sum(len(s.encode()) for s in corpus)
+
+    def best_of(tok, reps=3):
+        tok.tokenize_batch(corpus[:2000])  # warm slice shapes
+        out = tok.tokenize_batch(corpus)   # warm the full shape
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = tok.tokenize_batch(corpus)
+            best = min(best, time.time() - t0)
+        return out, best
+
+    single = FastWP()
+    single.load_resources(
+        "/root/reference/resources/pretrained/FastWordPiece")
+    want, dt1 = best_of(single)
+    print(f"single-device FastWP 85k encode: {dt1:.2f}s "
+          f"({nbytes/dt1/1e6:.2f} MB/s)", flush=True)
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_data_mesh(n_dev)
+    sharded = FastWP(mesh=mesh)
+    sharded.load_resources(
+        "/root/reference/resources/pretrained/FastWordPiece")
+    got, dt2 = best_of(sharded)
+    assert got == want, "sharded encode diverged from single-device"
+    print(f"{n_dev}-device mesh FastWP 85k encode: {dt2:.2f}s "
+          f"({nbytes/dt2/1e6:.2f} MB/s) — bit-identical; "
+          f"mesh/single speedup {dt1/dt2:.2f}x", flush=True)
 
 
 def main():
@@ -63,4 +112,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--mesh-encode" in sys.argv:
+        mesh_encode()
+    else:
+        main()
