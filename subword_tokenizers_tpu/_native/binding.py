@@ -31,6 +31,7 @@ _packed_punc_py = None
 _packed_lower_special = None
 _lower_table = None
 _stitch_fn = None
+_stitch_flat_fn = None
 _prep_fn = None
 
 
@@ -96,6 +97,10 @@ def _load() -> ctypes.CDLL:
     _stitch_fn = ctypes.PYFUNCTYPE(
         ctypes.py_object, ctypes.py_object, ctypes.py_object, i32p, i32p,
         i64, i64, i32p, i64p, i64)(("swt_stitch", lib))
+    global _stitch_flat_fn
+    _stitch_flat_fn = ctypes.PYFUNCTYPE(
+        ctypes.py_object, ctypes.py_object, ctypes.py_object, i32p, i64p,
+        i32p, i64, i32p, i64p, i64)(("swt_stitch_flat", lib))
     # swt_encode_prep reads PyUnicode data: GIL must stay held too.
     _prep_fn = ctypes.PYFUNCTYPE(
         i64, ctypes.py_object, u32p, u8p, u8p, i32p, i64p, u32p, i32p,
@@ -201,6 +206,29 @@ def stitch(strings: list, out_ids: np.ndarray, out_n: np.ndarray,
                       _ptr(out_n, ctypes.c_int32), U, W,
                       _ptr(inverse, ctypes.c_int32),
                       _ptr(bounds, ctypes.c_int64), bounds.shape[0] - 1)
+
+
+def stitch_flat(strings: list, ids: np.ndarray, starts: np.ndarray,
+                counts: np.ndarray, inverse: np.ndarray,
+                bounds: np.ndarray, alt: Optional[list] = None) -> list:
+    """Flat token-id stream -> list-of-list-of-str (compact fetch path).
+
+    ``ids`` i32[n] dense stream; ``starts`` i64[U] / ``counts`` i32[U]
+    per-unique spans into it; ``inverse``/``bounds``/``alt`` as in
+    :func:`stitch`.
+    """
+    _load()
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    inverse = np.ascontiguousarray(inverse, dtype=np.int32)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    return _stitch_flat_fn(strings, alt, _ptr(ids, ctypes.c_int32),
+                           _ptr(starts, ctypes.c_int64),
+                           _ptr(counts, ctypes.c_int32), ids.shape[0],
+                           _ptr(inverse, ctypes.c_int32),
+                           _ptr(bounds, ctypes.c_int64),
+                           bounds.shape[0] - 1)
 
 
 def encode_prep(sents: list):

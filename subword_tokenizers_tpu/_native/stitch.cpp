@@ -80,4 +80,76 @@ PyObject* swt_stitch(PyObject* strs, PyObject* alt_strs, const int32_t* out,
   return result;
 }
 
+// Flat-stream variant for the compact device fetch path
+// (ops/wp_encode_e2e.wp_e2e_scan_u16_stacked): instead of a padded
+// [U, W] matrix, token ids arrive as one dense stream with per-unique
+// (start, count) spans — the layout the device compaction produces so
+// the remote link moves ~10x fewer bytes. Same output contract as
+// swt_stitch.
+PyObject* swt_stitch_flat(PyObject* strs, PyObject* alt_strs,
+                          const int32_t* ids, const int64_t* starts,
+                          const int32_t* counts, int64_t n_ids,
+                          const int32_t* inverse, const int64_t* bounds,
+                          int64_t S) {
+  if (!PyList_Check(strs)) {
+    PyErr_SetString(PyExc_TypeError, "strs must be a list");
+    return nullptr;
+  }
+  const Py_ssize_t n_strs = PyList_GET_SIZE(strs);
+  const bool has_alt = alt_strs != Py_None;
+  if (has_alt && (!PyList_Check(alt_strs)
+                  || PyList_GET_SIZE(alt_strs) != n_strs)) {
+    PyErr_SetString(PyExc_TypeError,
+                    "alt_strs must be None or a list of len(strs)");
+    return nullptr;
+  }
+
+  PyObject* result = PyList_New(S);
+  if (result == nullptr) return nullptr;
+
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t total = 0;
+    for (int64_t c = bounds[s]; c < bounds[s + 1]; ++c) {
+      total += counts[inverse[c]];
+    }
+    PyObject* row = PyList_New(total);
+    if (row == nullptr) {
+      Py_DECREF(result);
+      return nullptr;
+    }
+    int64_t k = 0;
+    for (int64_t c = bounds[s]; c < bounds[s + 1]; ++c) {
+      const int64_t u = inverse[c];
+      const int64_t st = starts[u];
+      const int32_t n = counts[u];
+      if (st < 0 || st + n > n_ids) {
+        Py_DECREF(row);
+        Py_DECREF(result);
+        PyErr_Format(PyExc_ValueError,
+                     "token span [%lld, %lld) out of stream [0, %lld)",
+                     static_cast<long long>(st),
+                     static_cast<long long>(st + n),
+                     static_cast<long long>(n_ids));
+        return nullptr;
+      }
+      for (int32_t j = 0; j < n; ++j) {
+        const int32_t id = ids[st + j];
+        if (id < 0 || id >= n_strs) {
+          Py_DECREF(row);
+          Py_DECREF(result);
+          PyErr_Format(PyExc_ValueError,
+                       "token id %d out of range [0, %zd)", id, n_strs);
+          return nullptr;
+        }
+        PyObject* src = (has_alt && j > 0) ? alt_strs : strs;
+        PyObject* tok = PyList_GET_ITEM(src, id);   // borrowed
+        Py_INCREF(tok);
+        PyList_SET_ITEM(row, k++, tok);             // steals
+      }
+    }
+    PyList_SET_ITEM(result, s, row);                // steals
+  }
+  return result;
+}
+
 }  // extern "C"

@@ -13,23 +13,24 @@ The reference has no analogue (it is host-only, source/benchmarks.py
 measures exactly this regime); this is the standard small-batch fallback
 of accelerator serving stacks.
 
-Measured threshold (v5e behind the axon remote-dispatch link, r2): the
-TPU scan costs ~49 ms per 8192-row slice vs ~18 ms on the host CPU
-backend, with no crossover observed up to ~1M char-slots — the automaton
-is gather/latency-bound with zero MXU work, exactly the op class this
-host's many cores win. The default threshold therefore routes all
-realistic encode batches to the host executor; training (sort-dominated)
-stays on the TPU, where it beats the host by ~5x and the reference by
-~60x. Raise/lower via ``SWT_CPU_DISPATCH_SLOTS`` (char-slots; ``0`` pins
-every batch to the default backend).
+Measured threshold history (v5e behind the axon remote-dispatch link):
+- r2 stack: ~49 ms per 8192-row scan slice on the TPU (a ~0.8 ms fixed
+  cost per while_loop trip) vs ~18 ms host — everything routed to host.
+- r3 stack (tools/encode_crossover.py): the per-trip cost collapsed to
+  ~0.3 us and transfers run ~1 GB/s; the same slice now costs **0.08 ms
+  on the TPU vs 22 ms on the host** — the chip wins the scan ~150x at
+  every realistic batch size, so the default routes nothing to the
+  host and the e2e encode is bound by the native C++ front end/stitch,
+  not the executor. Raise via ``SWT_CPU_DISPATCH_SLOTS`` (char-slots;
+  scans below it run on the host CPU backend — bit-identical program)
+  if a future stack regresses dispatch latency.
 """
 from __future__ import annotations
 
 import os
 from typing import Optional
 
-CPU_DISPATCH_SLOTS = int(os.environ.get("SWT_CPU_DISPATCH_SLOTS",
-                                        str(1 << 22)))
+CPU_DISPATCH_SLOTS = int(os.environ.get("SWT_CPU_DISPATCH_SLOTS", "0"))
 
 
 def scan_device(n_slots: int, mesh=None, threshold: Optional[int] = None):

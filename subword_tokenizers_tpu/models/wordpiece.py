@@ -891,10 +891,93 @@ class FastWP(NaiveWP):
             mat16 = binding.pack_u16_rows(uniq_buf, uniq_off, uniq_len, Lc,
                                           trie.alpha)
         uslen = (uniq_len + 1).astype(np.int32)  # + trailing space
+        compact = self._run_e2e_compact(mat16, uslen)
+        if compact is not None:
+            ids_flat, starts, counts, out_table = compact
+            with profiling.phase("encode.stitch"):
+                return binding.stitch_flat(out_table.strings(), ids_flat,
+                                           starts, counts, inverse, bounds)
         out_ids, out_n, out_table = self._run_e2e_prepacked(mat16, uslen)
         with profiling.phase("encode.stitch"):
             return binding.stitch(out_table.strings(), out_ids, out_n,
                                   inverse, bounds)
+
+    def _run_e2e_compact(self, mat16, uslen):
+        """Compact-fetch scan: one device program over all length-sorted
+        slices + on-device token-stream compaction
+        (ops/wp_encode_e2e.wp_e2e_scan_u16_stacked), so the remote link
+        moves ~0.4 MB in two transfer calls instead of ~5 MB of padded
+        i32 over dozens (the link's ~40-60 ms per-call latency and
+        ~15-30 MB/s bandwidth are the encode bottleneck — PERF.md r3
+        link budget). Returns (ids i32[n], starts i64[U], counts i32[U],
+        out_table), or None when a precondition fails or any row flags
+        an error/hang — the caller falls back to the legacy padded path,
+        which raises the exact reference-documented errors."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.batching import quantize_rows, slice_rows_for
+        from ..ops.wp_encode_e2e import (pack_node_info,
+                                         wp_e2e_scan_u16_stacked)
+
+        trie, out_table = self._trie()
+        if (self.mesh is not None
+                or len(out_table.strings()) >= (1 << 16)):
+            return None
+        n_pops = max(trie.max_pops, 1)
+        # _sharp_seq None = the "'##' would hang" marker protocol: the
+        # scan emits -2 sentinels for the corner case; any row carrying
+        # one sets flag bit 3 and falls back to the legacy path, whose
+        # _finish_e2e raises the documented RuntimeError.
+        sharp_seq = self._sharp_seq if self._sharp_seq is not None \
+            else (-2,)
+        if getattr(self, "_packed_cache", None) is None or \
+                self._packed_cache[0] is not trie:
+            from ..core.dispatch import DeviceCache
+            info = pack_node_info(trie.fail, trie.pops_off, trie.pops_flat,
+                                  n_pops)
+            self._packed_cache = (trie,
+                                  DeviceCache(lambda: (info, trie.goto)))
+        node_info, goto_dev = self._packed_cache[1].get(None)
+
+        W, Lc = mat16.shape
+        order = np.argsort(uslen, kind="stable")
+        R = quantize_rows(W)
+        pad = R - W
+        sr = min(R, slice_rows_for(R))
+        B = R // sr
+        mat_p = np.zeros((R, Lc), dtype=np.uint16)  # zero rows scan to DONE
+        mat_p[pad:] = mat16[order]
+        len_p = np.zeros(R, dtype=np.int32)
+        len_p[pad:] = uslen[order]
+        with profiling.phase("encode.scan_dispatch"):
+            ids_d, out_n_d, flags_d, total_d = wp_e2e_scan_u16_stacked(
+                jnp.asarray(mat_p.reshape(B, sr, Lc)),
+                jnp.asarray(len_p.reshape(B, sr)),
+                goto_dev, node_info, trie.root_p, trie.root_sharp,
+                self._unk_id, tuple(sharp_seq), n_pops)
+        with profiling.phase("encode.scan_fetch"):
+            out_n, flags, total = jax.device_get(
+                (out_n_d, flags_d, total_d))
+            if flags.any():
+                return None
+            total = int(total)
+            if total == 0:
+                ids = np.zeros(0, dtype=np.int32)
+            else:
+                # Quantized prefix of the dense stream: pow2 grid bounds
+                # the number of compiled slice shapes.
+                nq = min(R * (Lc + 4),
+                         max(4096, 1 << (total - 1).bit_length()))
+                ids = np.asarray(
+                    jax.device_get(ids_d[:nq]))[:total].astype(np.int32)
+        starts_sorted = np.zeros(R, dtype=np.int64)
+        np.cumsum(out_n[:-1], out=starts_sorted[1:])
+        starts = np.empty(W, dtype=np.int64)
+        counts = np.empty(W, dtype=np.int32)
+        starts[order] = starts_sorted[pad:]
+        counts[order] = out_n[pad:]
+        return ids, starts, counts, out_table
 
     def _run_e2e_prepacked(self, mat16, uslen):
         """Sliced scan over an already-packed u16 wire matrix (the fused

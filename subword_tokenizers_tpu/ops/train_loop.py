@@ -252,7 +252,7 @@ def _cand_cap(n_pairs: int):
 
 
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
-              on_merge, K: int = 64, checkpoint_cb=None, progress_cb=None,
+              on_merge, K: int = 256, checkpoint_cb=None, progress_cb=None,
               flat: bool = True, wide_score: bool = False,
               w32: bool = False):
     """Host driver for the K-step device loop.
@@ -315,22 +315,59 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                    else n * max(L - 1, 1))
         cand_cap = _cand_cap(n_pairs)
 
+    def _dispatch(c, ccap):
+        with profiling.phase("train.device_block"):
+            if flat:
+                return flat_train_steps(
+                    c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8],
+                    pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
+                    narrow, sym_cap, wordpiece, ccap, wide_score, w32)
+            return train_steps(
+                c[0], freq_dev, c[1], c[2], c[3], c[4], c[5], pw1_d,
+                pw2_d, sh1, sh2, jnp.int32(max_vocab), K, narrow,
+                sym_cap, wordpiece, ccap, wide_score, w32)
+
+    # Pipeline depth 2: block k+1 is dispatched BEFORE block k's records
+    # are fetched, so the link's fixed per-fetch latency (~40-60 ms on
+    # the axon remote-dispatch tunnel — the dominant cost of a warm
+    # block, see PERF.md r3 link budget) overlaps block k+1's device
+    # execution. Exact: every stop condition is enforced ON DEVICE
+    # (``alive``/``max_vocab`` gating), so a block dispatched past
+    # completion is a no-op continuation of identical state, and the
+    # host-side record validation only gates id reuse, never selection.
+    state, recs = _dispatch(carry, cand_cap)
+    inflight = [(state, recs)]
+    next_carry = state
+    shrink_live = None  # newest fetched n_live (liveness only decreases)
     done = False
-    while not done:
-        if flat:
-            with profiling.phase("train.device_block"):
-                state, recs = flat_train_steps(
-                carry[0], carry[1], carry[2], carry[3], carry[4], carry[5],
-                    carry[6], carry[7], carry[8], pw1_d, pw2_d, sh1, sh2,
-                    jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
-                    cand_cap, wide_score, w32)
-        else:
-            with profiling.phase("train.device_block"):
-                state, recs = train_steps(
-                    carry[0], freq_dev, carry[1], carry[2], carry[3],
-                    carry[4], carry[5], pw1_d, pw2_d, sh1, sh2,
-                    jnp.int32(max_vocab), K, narrow, sym_cap, wordpiece,
-                    cand_cap, wide_score, w32)
+    while inflight:
+        if not done:
+            if flat and shrink_live is not None:
+                # Merges only consume slots and flat_apply left-compacts
+                # live slots every step, so the dead tail is sliced off
+                # between blocks ON DEVICE (lazy slice of the in-flight
+                # state — no host round trip; positions, the tie-break
+                # key, are untouched). Halving grid: each distinct width
+                # is a fresh XLA compile through the remote tunnel, so
+                # shrink at most one power of two per dispatch.
+                F = int(next_carry[0].shape[0])
+                if F >= 2 * _FLAT_MIN and shrink_live <= F // 2:
+                    Fp = F // 2
+                    with profiling.phase("train.shrink"):
+                        next_carry = (next_carry[0][:Fp],
+                                      next_carry[1][:Fp],
+                                      next_carry[2][:Fp]) \
+                            + tuple(next_carry[3:])
+                    if wordpiece:
+                        # The width change recompiles anyway; shrink the
+                        # candidate buffer (exact-double scoring cost)
+                        # with it. Cost-only — wp_select_core falls back
+                        # to full width inside lax.cond on overflow.
+                        cand_cap = _cand_cap(Fp - 1)
+            nxt = _dispatch(next_carry, cand_cap)
+            inflight.append(nxt)
+            next_carry = nxt[0]
+        state, recs = inflight.pop(0)
         with profiling.phase("train.fetch_records"):
             recs_np = jax.device_get(recs)
         steps_done = 0
@@ -356,29 +393,13 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
             checkpoint_cb(steps_done)
         if len(table) >= max_vocab:
             done = True
-        if flat and not done and steps_done:
-            # Merges only consume slots and flat_apply left-compacts live
-            # slots to the front every step, so the dead tail can be
-            # sliced off between blocks — positions (the tie-break key)
-            # are untouched. Halving grid: each distinct width is a fresh
-            # multi-minute XLA compile through the remote TPU link, so
-            # shrink at most one power of two per block.
-            F = int(carry[0].shape[0])
-            live = int(recs_np["n_live"][steps_done - 1])
-            if F >= 2 * _FLAT_MIN and live <= F // 2:
-                Fp = F // 2
-                with profiling.phase("train.shrink"):
-                    fs_h, wid_h, wgt_h = jax.device_get(
-                        (carry[0], carry[1], carry[2]))
-                    carry = (jnp.asarray(fs_h[:Fp]),
-                             jnp.asarray(wid_h[:Fp]),
-                             jnp.asarray(wgt_h[:Fp])) + tuple(carry[3:])
-                if wordpiece:
-                    # The width change recompiles anyway; shrink the
-                    # candidate buffer (exact-double scoring cost) along
-                    # with it. Cost-only — wp_select_core falls back to
-                    # full width inside lax.cond on overflow.
-                    cand_cap = _cand_cap(Fp - 1)
+        if steps_done:
+            shrink_live = int(recs_np["n_live"][steps_done - 1]) \
+                if flat else None
+        if done:
+            # Drain without dispatching: in-flight blocks are no-op
+            # continuations — their records are never needed.
+            inflight.clear()
 
     if flat:
         fs_f, wid_f = jax.device_get((carry[0], carry[1]))

@@ -232,6 +232,58 @@ def _wp_e2e_scan_impl(pchar, slen, goto_table, node_info, root_p,
     return out2d, st["ptr"], st["ovf"], stuck, st["crash"]
 
 
+@partial(jax.jit, static_argnames=("n_pops", "sharp_seq"))
+def wp_e2e_scan_u16_stacked(mat16, slen, goto_table, node_info, root_p,
+                            root_sharp, unk_id, sharp_seq, n_pops):
+    """All length-sorted slices in ONE device program, with the output
+    compacted for a minimal device->host fetch.
+
+    The axon link charges ~40-60 ms fixed latency per transfer call plus
+    ~15-30 MB/s bandwidth (tools/encode_crossover.py, PERF.md r3 link
+    budget), so fetching the padded [rows, CAP] i32 token matrix of a
+    corpus-sized batch (~5 MB over ~40 buffers) costs ~10x the scan
+    itself. Here the slices run sequentially inside one jit
+    (``lax.map`` keeps each slice's lockstep while_loop exiting at its
+    own max row length — the same early-exit the host-sliced driver
+    had) and the token ids are compacted on device into one dense u16
+    stream; the caller fetches (counts, flags, total) in one call and
+    then a quantized prefix of the stream in a second — ~0.4 MB and two
+    latency charges instead of ~5 MB over dozens.
+
+    mat16: u16[B, S, T] (B slices of S length-sorted rows); slen:
+    i32[B, S]. Token ids must fit u16 (callers gate on vocab size).
+    Returns (ids u16[B*S*(T+4)] dense row-major stream, out_n i32[B*S],
+    flags u8[B*S] = ovf | stuck<<1 | crash<<2 | sawneg2<<3, total i32).
+    """
+    B, S, T = mat16.shape
+
+    def one(args):
+        m, l = args
+        return wp_e2e_scan_u16(m, l, goto_table, node_info, root_p,
+                               root_sharp, unk_id, sharp_seq, n_pops)
+
+    out, out_n, ovf, stuck, crash = jax.lax.map(one, (mat16, slen))
+    CAP = T + 4
+    R = B * S
+    out = out.reshape(R, CAP)
+    out_n = out_n.reshape(R)
+    # the _sharp_seq-is-None hang marker (models/wordpiece._finish_e2e)
+    cols = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+    emitted = cols < out_n[:, None]
+    sawneg2 = (emitted & (out == -2)).any(axis=1)
+    flags = (ovf.reshape(R).astype(jnp.uint8)
+             | (stuck.reshape(R).astype(jnp.uint8) << 1)
+             | (crash.reshape(R).astype(jnp.uint8) << 2)
+             | (sawneg2.astype(jnp.uint8) << 3))
+    cum = jnp.cumsum(out_n)
+    offs = cum - out_n
+    total = cum[-1]
+    dest = jnp.where(emitted, offs[:, None] + cols, R * CAP)
+    ids = jnp.zeros(R * CAP, jnp.uint16).at[dest.reshape(-1)].set(
+        out.astype(jnp.uint16).reshape(-1), mode="drop")
+    return ids, out_n, flags, total
+
+
 def sliced_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
                     unk_id, sharp_seq, n_pops, n_alpha):
     """Host driver: length-sorted sliced scan (see core/batching.py) with

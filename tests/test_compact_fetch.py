@@ -1,0 +1,92 @@
+"""Compact-fetch encode path (ops/wp_encode_e2e.wp_e2e_scan_u16_stacked +
+models/wordpiece._run_e2e_compact + native stitch_flat).
+
+The compact path exists to cut the remote link's device->host bytes
+(~10x) and transfer calls; it must be invisible semantically — same
+token streams as the legacy padded path, and the same
+reference-documented errors on hang/crash inputs (via flag-triggered
+fallback to the legacy path)."""
+import json
+
+import numpy as np
+import pytest
+
+from subword_tokenizers_tpu import FastWP
+from subword_tokenizers_tpu._native import binding
+
+
+@pytest.fixture(scope="module")
+def fastwp():
+    tok = FastWP()
+    tok.load_resources("/root/reference/resources/pretrained/FastWordPiece")
+    return tok
+
+
+def _prep(tok, corpus):
+    binding._load()
+    prep = binding.encode_prep(corpus)
+    inverse, bounds, uniq_buf, uniq_off, uniq_len = prep
+    trie, _ = tok._trie()
+    Lc = -(-(int(uniq_len.max()) + 2) // 8) * 8
+    mat16 = binding.pack_u16_rows(uniq_buf, uniq_off, uniq_len, Lc,
+                                  trie.alpha)
+    return mat16, (uniq_len + 1).astype(np.int32)
+
+
+def test_compact_equals_legacy(fastwp, pan_tadeusz):
+    corpus = pan_tadeusz[:200]
+    mat16, uslen = _prep(fastwp, corpus)
+    compact = fastwp._run_e2e_compact(mat16, uslen)
+    assert compact is not None
+    ids, starts, counts, out_table = compact
+    out_ids, out_n, out_table2 = fastwp._run_e2e_prepacked(mat16, uslen)
+    assert (counts == out_n).all()
+    for u in range(counts.size):
+        got = ids[starts[u]:starts[u] + counts[u]]
+        assert (got == out_ids[u, :out_n[u]]).all(), u
+
+
+def test_compact_is_the_production_path(fastwp, pan_tadeusz,
+                                        pan_tadeusz_golden, monkeypatch):
+    corpus = pan_tadeusz[:60]
+    golden = pan_tadeusz_golden["FastWordPiece"][:60]
+    calls = []
+    orig = FastWP._run_e2e_compact
+
+    def spy(self, mat16, uslen):
+        r = orig(self, mat16, uslen)
+        calls.append(r is not None)
+        return r
+
+    monkeypatch.setattr(FastWP, "_run_e2e_compact", spy)
+    assert fastwp.tokenize_batch(corpus) == golden
+    assert calls == [True]
+
+
+def test_stitch_flat_matches_stitch(fastwp, pan_tadeusz):
+    corpus = pan_tadeusz[:150]
+    binding._load()
+    prep = binding.encode_prep(corpus)
+    inverse, bounds, *_ = prep
+    mat16, uslen = _prep(fastwp, corpus)
+    ids, starts, counts, out_table = fastwp._run_e2e_compact(mat16, uslen)
+    out_ids, out_n, _ = fastwp._run_e2e_prepacked(mat16, uslen)
+    a = binding.stitch_flat(out_table.strings(), ids, starts, counts,
+                            inverse, bounds)
+    b = binding.stitch(out_table.strings(), out_ids, out_n, inverse, bounds)
+    assert a == b
+
+
+def test_hang_input_still_raises(fastwp):
+    # an unknown punctuation-class char hangs the reference's E2E scan;
+    # the compact path must flag the row, fall back, and raise the
+    # documented RuntimeError (never return wrong tokens).
+    with pytest.raises(RuntimeError, match="hang"):
+        fastwp.tokenize_batch(["zwykly tekst", "☃¿ zlo"])
+
+
+def test_compact_empty_and_tiny(fastwp):
+    assert fastwp.tokenize_batch([""]) == [[]]
+    assert fastwp.tokenize_batch(["  "]) == [[]]
+    one = fastwp.tokenize_batch(["pan"])
+    assert one == [["pan"]] or len(one[0]) >= 1

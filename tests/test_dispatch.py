@@ -16,15 +16,17 @@ def test_scan_device_logic(monkeypatch):
     assert dispatch.scan_device(10) is None
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    dev = dispatch.scan_device(10)
+    # r3 default: the chip wins the scan at every size (see module
+    # docstring) — no routing unless a threshold is set explicitly.
+    assert dispatch.scan_device(10) is None
+    dev = dispatch.scan_device(10, threshold=11)
     assert dev is not None and dev.platform == "cpu"
     # An explicit mesh pins the sharded path.
-    assert dispatch.scan_device(10, mesh=object()) is None
+    assert dispatch.scan_device(10, mesh=object(), threshold=11) is None
     # Large workloads stay on the accelerator.
-    assert dispatch.scan_device(1 << 30) is None
+    assert dispatch.scan_device(1 << 30, threshold=11) is None
     # threshold == 0 disables routing.
     assert dispatch.scan_device(10, threshold=0) is None
-    assert dispatch.scan_device(10, threshold=11) is not None
 
 
 def test_device_cache_per_device():
@@ -61,6 +63,7 @@ def test_dispatched_encode_bit_exact(monkeypatch, model, pan_tadeusz,
         f"/root/reference/resources/pretrained/{names[model]}")
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dispatch, "CPU_DISPATCH_SLOTS", 1 << 22)
     assert dispatch.scan_device(100) is not None  # routing active
     out = tok.tokenize_batch(corpus)
     assert out == golden
