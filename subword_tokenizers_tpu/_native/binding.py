@@ -46,7 +46,7 @@ def _so_path() -> str:
     import platform
     digest.update(platform.machine().encode())
     digest.update(platform.processor().encode())
-    digest.update(b"-O3 -march=native")
+    digest.update(b"-O3 -march=native -pthread")
     return os.path.join(_BUILD_DIR, f"native-{digest.hexdigest()[:16]}.so")
 
 
@@ -58,7 +58,8 @@ def _build(so_path: str) -> None:
     os.close(fd)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
+             "-std=c++17",
              f"-I{sysconfig.get_paths()['include']}",
              *_SRCS, "-o", tmp],
             check=True, capture_output=True,
@@ -101,10 +102,12 @@ def _load() -> ctypes.CDLL:
     _stitch_flat_fn = ctypes.PYFUNCTYPE(
         ctypes.py_object, ctypes.py_object, ctypes.py_object, i32p, i64p,
         i32p, i64, i32p, i64p, i64)(("swt_stitch_flat", lib))
-    # swt_encode_prep reads PyUnicode data: GIL must stay held too.
+    # swt_encode_prep_mt snapshots PyUnicode internals under the GIL,
+    # then worker threads only touch raw memory: PYFUNCTYPE (GIL held
+    # in the calling thread) is still required.
     _prep_fn = ctypes.PYFUNCTYPE(
-        i64, ctypes.py_object, u32p, u8p, u8p, i32p, i64p, u32p, i32p,
-        i64p)(("swt_encode_prep", lib))
+        i64, ctypes.py_object, u32p, u8p, u8p, i64, i32p, i64p, u32p,
+        i32p, i64p)(("swt_encode_prep_mt", lib))
     lib.swt_pack_u16.restype = None
     lib.swt_pack_u16.argtypes = [u32p, i64p, i32p, i64, i64, i32p, u8p,
                                  u8p, ctypes.POINTER(ctypes.c_uint16)]
@@ -252,6 +255,7 @@ def encode_prep(sents: list):
     u = _prep_fn(sents, _ptr(_lower_table, ctypes.c_uint32),
                  _ptr(_packed_lower_special, ctypes.c_uint8),
                  _ptr(_packed_ws_py, ctypes.c_uint8),
+                 os.cpu_count() or 1,
                  _ptr(inverse, ctypes.c_int32),
                  _ptr(bounds, ctypes.c_int64),
                  _ptr(uniq_buf, ctypes.c_uint32),

@@ -17,8 +17,10 @@
 
 #include <Python.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -105,6 +107,194 @@ int64_t swt_encode_prep(PyObject* sents, const uint32_t* lower,
       inverse_out[n_chunks++] = uid;
     }
     bounds_out[si + 1] = n_chunks;
+  }
+  *n_chunks_out = n_chunks;
+  return n_uniq;
+}
+
+// Multithreaded variant of swt_encode_prep for multi-core hosts. Same
+// contract and outputs, except unique-chunk NUMBERING is thread-partition
+// order instead of global first-occurrence order — internally consistent
+// (inverse/uniq_* agree) and invisible downstream: scan rows are
+// independent and the stitch maps occurrences through `inverse`.
+//
+// Threading model: the main thread snapshots each str's PEP 393
+// (kind, data, len) under the GIL; workers then only do raw memory reads
+// (PyUnicode_READ is a macro over the snapshot — no Python API) plus
+// writes into preallocated buffers, so the GIL can stay held by the main
+// thread while workers run. Each worker lowers + splits + dedups its own
+// contiguous sentence range into thread-local tables; the main thread
+// merges the (few) per-thread uniques sequentially and renumbers each
+// thread's inverse through a local->global LUT.
+int64_t swt_encode_prep_mt(PyObject* sents, const uint32_t* lower,
+                           const uint8_t* special_bits,
+                           const uint8_t* ws_bits, int64_t n_threads,
+                           int32_t* inverse_out, int64_t* bounds_out,
+                           uint32_t* uniq_buf, int32_t* uniq_len_out,
+                           int64_t* n_chunks_out) {
+  if (!PyList_Check(sents)) return -2;
+  const Py_ssize_t S = PyList_GET_SIZE(sents);
+  // Phase 0 (GIL): snapshot string internals + codepoint offsets.
+  std::vector<int> kinds(static_cast<size_t>(S));
+  std::vector<const void*> datas(static_cast<size_t>(S));
+  std::vector<int64_t> cp_off(static_cast<size_t>(S) + 1, 0);
+  for (Py_ssize_t si = 0; si < S; ++si) {
+    PyObject* s = PyList_GET_ITEM(sents, si);
+    if (!PyUnicode_Check(s)) return -2;
+    kinds[si] = PyUnicode_KIND(s);
+    datas[si] = PyUnicode_DATA(s);
+    cp_off[si + 1] = cp_off[si] + PyUnicode_GET_LENGTH(s);
+  }
+  const int64_t total = cp_off[S];
+  int T = static_cast<int>(n_threads);
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  if (S < 2 * T || total < (1 << 16)) T = 1;
+
+  // Contiguous sentence ranges balanced by codepoint count.
+  std::vector<Py_ssize_t> range_end(T);
+  {
+    Py_ssize_t si = 0;
+    for (int t = 0; t < T; ++t) {
+      const int64_t target = (total * (t + 1)) / T;
+      while (si < S && cp_off[si + 1] <= target) ++si;
+      if (si < S && t < T - 1) ++si;
+      range_end[t] = (t == T - 1) ? S : si;
+    }
+  }
+
+  std::vector<uint32_t> low(static_cast<size_t>(total));
+  struct Local {
+    std::unordered_map<uint64_t, int32_t> seen;
+    std::vector<int64_t> u_start;   // into `low`
+    std::vector<int32_t> u_len;
+    std::vector<uint64_t> u_hash;
+    std::vector<int32_t> chunk_uid; // per chunk occurrence, local ids
+    std::vector<int64_t> sent_chunks;  // per sentence in range
+  };
+  std::vector<Local> locals(T);
+  std::atomic<bool> abort_special(false);
+
+  auto work = [&](int t) {
+    Local& L = locals[t];
+    L.seen.reserve(1 << 12);
+    const Py_ssize_t s0 = (t == 0) ? 0 : range_end[t - 1];
+    const Py_ssize_t s1 = range_end[t];
+    for (Py_ssize_t si = s0; si < s1 && !abort_special.load(
+             std::memory_order_relaxed); ++si) {
+      const int kind = kinds[si];
+      const void* data = datas[si];
+      const int64_t base = cp_off[si];
+      const Py_ssize_t n = static_cast<Py_ssize_t>(cp_off[si + 1] - base);
+      uint32_t* dst = low.data() + base;
+      for (Py_ssize_t i = 0; i < n; ++i) {
+        const uint32_t cp =
+            static_cast<uint32_t>(PyUnicode_READ(kind, data, i));
+        if (bit(special_bits, cp)) {
+          abort_special.store(true, std::memory_order_relaxed);
+          return;
+        }
+        dst[i] = lower[cp];
+      }
+      int64_t n_chunks_sent = 0;
+      Py_ssize_t i = 0;
+      while (i < n) {
+        if (bit(ws_bits, dst[i])) {
+          ++i;
+          continue;
+        }
+        const Py_ssize_t cs = i;
+        while (i < n && !bit(ws_bits, dst[i])) ++i;
+        const int32_t len = static_cast<int32_t>(i - cs);
+        uint64_t h = 1469598103934665603ull;
+        for (Py_ssize_t j = cs; j < i; ++j)
+          h = (h ^ dst[j]) * 1099511628211ull;
+        int32_t uid;
+        for (;;) {
+          auto it = L.seen.find(h);
+          if (it == L.seen.end()) {
+            uid = static_cast<int32_t>(L.u_start.size());
+            L.seen.emplace(h, uid);
+            L.u_start.push_back(base + cs);
+            L.u_len.push_back(len);
+            L.u_hash.push_back(h);
+            break;
+          }
+          const int32_t cand = it->second;
+          if (L.u_len[cand] == len &&
+              std::memcmp(low.data() + L.u_start[cand], dst + cs,
+                          sizeof(uint32_t) * static_cast<size_t>(len))
+                  == 0) {
+            uid = cand;
+            break;
+          }
+          ++h;  // hash collision with different content: re-probe
+        }
+        L.chunk_uid.push_back(uid);
+        ++n_chunks_sent;
+      }
+      L.sent_chunks.push_back(n_chunks_sent);
+    }
+  };
+
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  if (abort_special.load()) return -1;
+
+  // Merge (sequential): global dedup over the per-thread uniques.
+  std::unordered_map<uint64_t, int32_t> seen;
+  seen.reserve(1 << 14);
+  std::vector<int64_t> uniq_off;
+  uniq_off.reserve(1 << 14);
+  uniq_off.push_back(0);
+  int32_t n_uniq = 0;
+  int64_t buf_len = 0;
+  int64_t n_chunks = 0;
+  bounds_out[0] = 0;
+  Py_ssize_t si_global = 0;
+  for (int t = 0; t < T; ++t) {
+    Local& L = locals[t];
+    std::vector<int32_t> remap(L.u_start.size());
+    for (size_t u = 0; u < L.u_start.size(); ++u) {
+      const int32_t len = L.u_len[u];
+      const uint32_t* src = low.data() + L.u_start[u];
+      uint64_t h = L.u_hash[u];
+      int32_t gid;
+      for (;;) {
+        auto it = seen.find(h);
+        if (it == seen.end()) {
+          gid = n_uniq++;
+          seen.emplace(h, gid);
+          std::memcpy(uniq_buf + buf_len, src,
+                      sizeof(uint32_t) * static_cast<size_t>(len));
+          uniq_len_out[gid] = len;
+          buf_len += len;
+          uniq_off.push_back(buf_len);
+          break;
+        }
+        const int32_t cand = it->second;
+        if (uniq_len_out[cand] == len &&
+            std::memcmp(uniq_buf + uniq_off[cand], src,
+                        sizeof(uint32_t) * static_cast<size_t>(len)) == 0) {
+          gid = cand;
+          break;
+        }
+        ++h;
+      }
+      remap[u] = gid;
+    }
+    int64_t ci = 0;
+    for (size_t k = 0; k < L.sent_chunks.size(); ++k) {
+      for (int64_t c = 0; c < L.sent_chunks[k]; ++c)
+        inverse_out[n_chunks++] = remap[L.chunk_uid[ci++]];
+      bounds_out[++si_global] = n_chunks;
+    }
   }
   *n_chunks_out = n_chunks;
   return n_uniq;

@@ -16,21 +16,28 @@ of accelerator serving stacks.
 Measured threshold history (v5e behind the axon remote-dispatch link):
 - r2 stack: ~49 ms per 8192-row scan slice on the TPU (a ~0.8 ms fixed
   cost per while_loop trip) vs ~18 ms host — everything routed to host.
-- r3 stack (tools/encode_crossover.py): the per-trip cost collapsed to
-  ~0.3 us and transfers run ~1 GB/s; the same slice now costs **0.08 ms
-  on the TPU vs 22 ms on the host** — the chip wins the scan ~150x at
-  every realistic batch size, so the default routes nothing to the
-  host and the e2e encode is bound by the native C++ front end/stitch,
-  not the executor. Raise via ``SWT_CPU_DISPATCH_SLOTS`` (char-slots;
-  scans below it run on the host CPU backend — bit-identical program)
-  if a future stack regresses dispatch latency.
+- r3 stack (tools/encode_crossover.py + fresh-buffer link probes): the
+  per-trip cost collapsed to ~0.3 us and the same slice now costs
+  **0.08 ms of device time vs 22 ms on the host** — but every transfer
+  CALL charges ~40-60 ms latency at ~15-30 MB/s, so a small batch is
+  still host-bound: a single sentence costs ~1 ms on the host vs a
+  ~70-100 ms link round trip. The measured crossover sits near ~1M
+  char-slots (host scan rate ~0.17 us/slot vs the link's fixed
+  ~100 ms for a compact-fetch dispatch cycle); the default threshold
+  routes per-sentence/small-batch scans to the host executor
+  (bit-identical program — reference-methodology per-sentence latency
+  stays in milliseconds) and corpus-scale batches to the chip, whose
+  compact-fetch path (ops/fetch.py) amortizes the link. Override via
+  ``SWT_CPU_DISPATCH_SLOTS`` (char-slots; ``0`` pins everything to the
+  default backend).
 """
 from __future__ import annotations
 
 import os
 from typing import Optional
 
-CPU_DISPATCH_SLOTS = int(os.environ.get("SWT_CPU_DISPATCH_SLOTS", "0"))
+CPU_DISPATCH_SLOTS = int(os.environ.get("SWT_CPU_DISPATCH_SLOTS",
+                                        str(1 << 19)))
 
 
 def scan_device(n_slots: int, mesh=None, threshold: Optional[int] = None):

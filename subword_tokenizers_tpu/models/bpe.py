@@ -150,23 +150,31 @@ class NaiveBPE(SubwordTokenizer):
             self._sel_stats = {"proven": 0, "compact": 0, "full": 0}
             self._topk_fallbacks = 0  # steps not settled by the certificate
 
+            # Testing/validation knob: pin the selection to one tier
+            # ('compact' | 'full') so the exact fallback tiers can be
+            # exercised at real-corpus scale (every tier is exact — the
+            # tiering trades communication only, never correctness).
+            force_tier = getattr(self, "_force_tier", None)
+
             def select(s, f):
                 # Tiered reduction (parallel/train.py): two-phase top-K
                 # (O(K*D) comm) when the Σ-threshold certificate proves
                 # the winner; exact compacted-runs gather (O(distinct*D))
                 # otherwise; full position gather only if a shard's
                 # distinct-run cap overflows.
-                bk, bc, bf, proven = sharded_bpe_select_topk(
-                    self.mesh, s, f, narrow, w32=w32)
-                if bool(proven):
-                    self._sel_stats["proven"] += 1
-                    return bk, bc, bf
-                self._topk_fallbacks += 1
-                bk, bc, bf, exact = sharded_bpe_select_compact(
-                    self.mesh, s, f, narrow, run_cap, w32=w32)
-                if bool(exact):
-                    self._sel_stats["compact"] += 1
-                    return bk, bc, bf
+                if force_tier is None:
+                    bk, bc, bf, proven = sharded_bpe_select_topk(
+                        self.mesh, s, f, narrow, w32=w32)
+                    if bool(proven):
+                        self._sel_stats["proven"] += 1
+                        return bk, bc, bf
+                    self._topk_fallbacks += 1
+                if force_tier != "full":
+                    bk, bc, bf, exact = sharded_bpe_select_compact(
+                        self.mesh, s, f, narrow, run_cap, w32=w32)
+                    if bool(exact):
+                        self._sel_stats["compact"] += 1
+                        return bk, bc, bf
                 self._sel_stats["full"] += 1
                 return sharded_bpe_select(self.mesh, s, f, narrow,
                                           w32=w32)
@@ -372,19 +380,11 @@ class NaiveBPE(SubwordTokenizer):
 
     _MONOTONE = True
 
-    def _encode_unique_raw(self, words: List[str]):
-        """Encode unique words to a token-id matrix in one batched call.
-
-        Returns (merged i32[W, L], out_n i32[W], table), or None when
-        this vocabulary needs the exact host fallback (duplicate merge
-        pairs, where dict-rank overwrite semantics apply)."""
-        import contextlib
-
-        import jax
-        from ..core.batching import sliced_rows
-        from ..core.dispatch import scan_device
-        from ..ops.bpe_encode import bpe_encode
-
+    def _encode_inputs(self, words: List[str]):
+        """Padded symbol-id matrix + lengths for the merge-loop encoder,
+        or None when this vocabulary needs the exact host fallback
+        (duplicate merge pairs, where dict-rank overwrite semantics
+        apply)."""
         if self._has_duplicate_merges():
             return None
         table, dev_cache, max_probe = self._build_device_tables()
@@ -401,12 +401,70 @@ class NaiveBPE(SubwordTokenizer):
                     # Unseen char: fresh id, participates in no merge.
                     sid = table.intern(ch)
                 sym[i, j] = sid
+        wlen = np.fromiter((len(w) for w in words), dtype=np.int32,
+                           count=W)
+        return table, dev_cache, max_probe, sym, wlen
+
+    def _encode_unique_compact(self, words: List[str]):
+        """Compact-fetch batched encoder (ops/fetch.py): one device
+        program over all slices, dense u16 token stream fetched in two
+        calls. Returns (ids, starts, counts, table) or None (mesh,
+        duplicate merges, or a wide symbol table — the legacy path
+        then applies)."""
+        import jax.numpy as jnp
+
+        from ..benchmarks import profiling
+        from ..core.dispatch import scan_device
+        from ..ops.bpe_encode import bpe_encode_stacked
+        from ..ops.fetch import fetch_compact, stack_sorted
+
+        if self.mesh is not None or not words:
+            return None
+        inputs = self._encode_inputs(words)
+        if inputs is None:
+            return None
+        table, dev_cache, max_probe, sym, wlen = inputs
+        if (len(table) >= (1 << 16)
+                # Small batches belong on the host executor (legacy
+                # sliced path); see core/dispatch.py.
+                or scan_device(int(sym.size)) is not None):
+            return None
+        hkeys, hrank, hout = dev_cache.get(None)
+        (sym_s, _), order, pad, B, sr = stack_sorted(
+            (sym, wlen), (-1, 0), wlen)
+        with profiling.phase("encode.scan_dispatch"):
+            ids_d, out_n_d, flags_d, total_d = bpe_encode_stacked(
+                jnp.asarray(sym_s), hkeys, hrank, hout, self._MONOTONE,
+                max_probe)
+        with profiling.phase("encode.scan_fetch"):
+            got = fetch_compact(ids_d, out_n_d, flags_d, total_d, order,
+                                pad)
+        if got is None:
+            return None
+        ids, starts, counts = got
+        return ids, starts, counts, table
+
+    def _encode_unique_raw(self, words: List[str]):
+        """Encode unique words to a token-id matrix in one batched call.
+
+        Returns (merged i32[W, L], out_n i32[W], table), or None when
+        this vocabulary needs the exact host fallback (duplicate merge
+        pairs, where dict-rank overwrite semantics apply)."""
+        import contextlib
+
+        import jax
+        from ..core.batching import sliced_rows
+        from ..core.dispatch import scan_device
+        from ..ops.bpe_encode import bpe_encode
+
+        inputs = self._encode_inputs(words)
+        if inputs is None:
+            return None
+        table, dev_cache, max_probe, sym, wlen = inputs
         dev = scan_device(int(sym.size), self.mesh)
         hkeys, hrank, hout = dev_cache.get(dev)
         ctx = jax.default_device(dev) if dev is not None else \
             contextlib.nullcontext()
-        wlen = np.fromiter((len(w) for w in words), dtype=np.int32,
-                           count=W)
 
         def fn(s):
             return (bpe_encode(s, hkeys, hrank, hout, self._MONOTONE,
@@ -460,16 +518,25 @@ class NaiveBPE(SubwordTokenizer):
         except Exception:
             binding = None
         if binding is not None:
-            raw = self._encode_unique_raw(words)
+            bounds = np.searchsorted(
+                wb.sent_id, np.arange(S + 1)).astype(np.int64)
             # Empty rows render as [""] on the FastBPE path (reference
             # source/bpe.py:207-208) — unreachable from the front end
             # (words are non-empty) but routed to the host assembly for
             # exactness.
+            compact = self._encode_unique_compact(words)
+            if compact is not None and (self._MONOTONE
+                                        or not (compact[2] == 0).any()):
+                ids, starts, counts, table = compact
+                return binding.stitch_flat(table.strings(), ids, starts,
+                                           counts,
+                                           inverse.astype(np.int32),
+                                           bounds,
+                                           alt=self._alt_strings(table))
+            raw = self._encode_unique_raw(words)
             if raw is not None and (self._MONOTONE
                                     or not (raw[1] == 0).any()):
                 merged, out_n, table = raw
-                bounds = np.searchsorted(
-                    wb.sent_id, np.arange(S + 1)).astype(np.int64)
                 return binding.stitch(table.strings(), merged, out_n,
                                       inverse.astype(np.int32), bounds,
                                       alt=self._alt_strings(table))

@@ -350,6 +350,54 @@ class NaiveWP(SubwordTokenizer):
                 lambda: (trie.goto, trie.accept))
         return self._match_trie, self._match_out
 
+    def _match_inputs(self, words: List[str]):
+        """Padded alphabet-id matrix + lengths for the greedy matcher."""
+        trie, out_table = self._build_match_trie()
+        W = len(words)
+        wlen = np.fromiter((len(w) for w in words), dtype=np.int32, count=W)
+        # Width rounded to a multiple of 8 for compiled-shape reuse.
+        L = -(-max(2, int(wlen.max()) if W else 1) // 8) * 8
+        flat = trie.alpha[codepoints("".join(words))]
+        wmat = np.full((W, L), trie.n_alpha, dtype=np.int32)
+        mask = np.arange(L, dtype=np.int32)[None, :] < wlen[:, None]
+        wmat[mask] = flat
+        return trie, out_table, wmat, wlen
+
+    def _encode_unique_compact(self, words: List[str]):
+        """Compact-fetch batched matcher (ops/fetch.py): one device
+        program over all slices, dense u16 token stream fetched in two
+        calls. Returns (ids, starts, counts, out_table) or None (mesh,
+        wide output table, or an overflow row — the legacy path then
+        owns the error semantics)."""
+        import jax.numpy as jnp
+
+        from ..core.dispatch import scan_device
+        from ..ops.fetch import fetch_compact, stack_sorted
+        from ..ops.wp_encode import wp_match_encode_stacked
+
+        if self.mesh is not None or not words:
+            return None
+        trie, out_table, wmat, wlen = self._match_inputs(words)
+        if (len(out_table.strings()) >= (1 << 16)
+                # Small batches belong on the host executor (legacy
+                # sliced path); see core/dispatch.py.
+                or scan_device(int(wmat.size)) is not None):
+            return None
+        goto_dev, accept_dev = self._match_dev.get(None)
+        (wmat_s, wlen_s), order, pad, B, sr = stack_sorted(
+            (wmat, wlen), (trie.n_alpha, 0), wlen)
+        with profiling.phase("encode.scan_dispatch"):
+            ids_d, out_n_d, flags_d, total_d = wp_match_encode_stacked(
+                jnp.asarray(wmat_s), jnp.asarray(wlen_s), goto_dev,
+                accept_dev, int(trie.alpha[ord("#")]))
+        with profiling.phase("encode.scan_fetch"):
+            got = fetch_compact(ids_d, out_n_d, flags_d, total_d, order,
+                                pad)
+        if got is None:
+            return None
+        ids, starts, counts = got
+        return ids, starts, counts, out_table
+
     def _encode_unique_raw(self, words: List[str]):
         """Batched greedy longest-match to a token-id matrix.
 
@@ -363,15 +411,8 @@ class NaiveWP(SubwordTokenizer):
         from ..core.dispatch import scan_device
         from ..ops.wp_encode import wp_match_encode
 
-        trie, out_table = self._build_match_trie()
+        trie, out_table, wmat, wlen = self._match_inputs(words)
         W = len(words)
-        wlen = np.fromiter((len(w) for w in words), dtype=np.int32, count=W)
-        # Width rounded to a multiple of 8 for compiled-shape reuse.
-        L = -(-max(2, int(wlen.max()) if W else 1) // 8) * 8
-        flat = trie.alpha[codepoints("".join(words))]
-        wmat = np.full((W, L), trie.n_alpha, dtype=np.int32)
-        mask = np.arange(L, dtype=np.int32)[None, :] < wlen[:, None]
-        wmat[mask] = flat
         dev = scan_device(int(wmat.size), self.mesh)
         goto_dev, accept_dev = self._match_dev.get(dev)
         ctx = jax.default_device(dev) if dev is not None else \
@@ -414,9 +455,16 @@ class NaiveWP(SubwordTokenizer):
         except Exception:
             binding = None
         if binding is not None:
-            out, out_n, out_table = self._encode_unique_raw(words)
             bounds = np.searchsorted(
                 wb.sent_id, np.arange(S + 1)).astype(np.int64)
+            compact = self._encode_unique_compact(words)
+            if compact is not None:
+                ids, starts, counts, out_table = compact
+                return binding.stitch_flat(out_table.strings(), ids,
+                                           starts, counts,
+                                           inverse.astype(np.int32),
+                                           bounds)
+            out, out_n, out_table = self._encode_unique_raw(words)
             return binding.stitch(out_table.strings(), out, out_n,
                                   inverse.astype(np.int32), bounds)
         encoded = self._encode_unique_device(words)
@@ -920,9 +968,15 @@ class FastWP(NaiveWP):
         from ..ops.wp_encode_e2e import (pack_node_info,
                                          wp_e2e_scan_u16_stacked)
 
+        from ..core.dispatch import scan_device
+
         trie, out_table = self._trie()
         if (self.mesh is not None
-                or len(out_table.strings()) >= (1 << 16)):
+                or len(out_table.strings()) >= (1 << 16)
+                # Small batches route to the host executor, where the
+                # legacy sliced path is the right shape (no link to
+                # amortize — see core/dispatch.py).
+                or scan_device(int(mat16.size)) is not None):
             return None
         n_pops = max(trie.max_pops, 1)
         # _sharp_seq None = the "'##' would hang" marker protocol: the

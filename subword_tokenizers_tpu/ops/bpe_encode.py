@@ -157,3 +157,27 @@ def bpe_encode(sym: jax.Array, hkeys: jax.Array, hrank: jax.Array,
     final_sym, _, _ = jax.lax.while_loop(cond, body,
                                          (sym, cursor0, jnp.bool_(True)))
     return final_sym
+
+
+@partial(jax.jit, static_argnames=("monotone", "max_probe"))
+def bpe_encode_stacked(sym, hkeys, hrank, hout, monotone: bool,
+                       max_probe: int):
+    """All length-sorted slices in one device program + compact output
+    stream (see ops/fetch.py). sym: i32[B, S, L]. The per-slice column
+    quantization of the host-sliced path is traded away (one width for
+    all slices) — the merge loop's compute is microseconds on this
+    chip while every host-sliced dispatch round-trips the remote link.
+    Returns (ids u16 dense stream, out_n i32[B*S], flags u8[B*S] = 0,
+    total)."""
+    from .fetch import compact_ids
+
+    def one(s):
+        return bpe_encode(s, hkeys, hrank, hout, monotone, max_probe)
+
+    merged = jax.lax.map(one, sym)
+    B, S, L = merged.shape
+    merged = merged.reshape(B * S, L)
+    out_n = jnp.sum((merged >= 0).astype(jnp.int32), axis=1)
+    ids, total = compact_ids(merged, out_n)
+    flags = jnp.zeros(B * S, jnp.uint8)
+    return ids, out_n, flags, total

@@ -273,3 +273,35 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
     st = jax.lax.while_loop(cond, body, init)
     stuck = st["mode"] != DONE
     return st["out"][:, :CAP], st["ptr"], st["ovf"], stuck, st["crash"]
+
+
+@jax.jit
+def wp_match_encode_stacked(words, wlen, goto_table, accept, hash_aid):
+    """All length-sorted slices in one device program + compact output
+    stream (see ops/fetch.py — the remote link's per-call latency and
+    bandwidth, not the matcher, bound this encode).
+
+    words: i32[B, S, L]; wlen: i32[B, S]. UNK substitution happens ON
+    DEVICE (out[0] = 0 == the UNK id interned first by
+    models/wordpiece.NaiveWP._build_match_trie; count = 1), matching the
+    host post-processing of :func:`wp_match_encode`. Returns
+    (ids u16 dense stream, out_n i32[B*S], flags u8[B*S] = ovf, total).
+    """
+    from .fetch import compact_ids
+
+    def one(args):
+        m, l = args
+        return wp_match_encode(m, l, goto_table, accept, hash_aid)
+
+    out, out_n, unk, ovf = jax.lax.map(one, (words, wlen))
+    B, S, CAP = out.shape
+    out = out.reshape(B * S, CAP)
+    out_n = out_n.reshape(-1)
+    unk = unk.reshape(-1)
+    out = jnp.where(unk[:, None]
+                    & (jnp.arange(CAP, dtype=jnp.int32)[None, :] == 0),
+                    0, out)
+    out_n = jnp.where(unk, 1, out_n)
+    flags = ovf.reshape(-1).astype(jnp.uint8)
+    ids, total = compact_ids(out, out_n)
+    return ids, out_n, flags, total

@@ -85,6 +85,54 @@ def test_hang_input_still_raises(fastwp):
         fastwp.tokenize_batch(["zwykly tekst", "☃¿ zlo"])
 
 
+@pytest.mark.parametrize("model,res", [("NaiveWP", "NaiveWordPiece"),
+                                       ("FastBPE", "FastBPE"),
+                                       ("NaiveBPE", "NaiveBPE")])
+def test_matcher_compact_is_production_and_exact(model, res, pan_tadeusz,
+                                                 pan_tadeusz_golden,
+                                                 monkeypatch):
+    import subword_tokenizers_tpu as swt
+
+    cls = getattr(swt, model)
+    tok = cls()
+    tok.load_resources(f"/root/reference/resources/pretrained/{res}")
+    calls = []
+    orig = cls._encode_unique_compact
+
+    def spy(self, words):
+        r = orig(self, words)
+        calls.append(r is not None)
+        return r
+
+    monkeypatch.setattr(cls, "_encode_unique_compact", spy)
+    corpus = pan_tadeusz[:80]
+    assert tok.tokenize_batch(corpus) == \
+        pan_tadeusz_golden[res][:80]
+    assert calls == [True]
+
+
+@pytest.mark.parametrize("model,res", [("NaiveWP", "NaiveWordPiece"),
+                                       ("FastBPE", "FastBPE")])
+def test_matcher_compact_equals_raw(model, res, pan_tadeusz):
+    """Span-level identity between the compact stream and the padded
+    matrix for the greedy-matcher and merge-loop encoders."""
+    import subword_tokenizers_tpu as swt
+
+    cls = getattr(swt, model)
+    tok = cls()
+    tok.load_resources(f"/root/reference/resources/pretrained/{res}")
+    words = sorted({w for s in pan_tadeusz[:120]
+                    for w, _ in tok.preprocessing([s])[0]})
+    compact = tok._encode_unique_compact(words)
+    assert compact is not None
+    ids, starts, counts, table = compact
+    out, out_n, table2 = tok._encode_unique_raw(words)
+    assert (counts == out_n).all()
+    for u in range(counts.size):
+        assert (ids[starts[u]:starts[u] + counts[u]]
+                == out[u, :out_n[u]]).all(), words[u]
+
+
 def test_compact_empty_and_tiny(fastwp):
     assert fastwp.tokenize_batch([""]) == [[]]
     assert fastwp.tokenize_batch(["  "]) == [[]]

@@ -16,17 +16,18 @@ def test_scan_device_logic(monkeypatch):
     assert dispatch.scan_device(10) is None
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    # r3 default: the chip wins the scan at every size (see module
-    # docstring) — no routing unless a threshold is set explicitly.
-    assert dispatch.scan_device(10) is None
-    dev = dispatch.scan_device(10, threshold=11)
+    # r3 default: small batches (per-sentence latency regime) go to the
+    # host; corpus-scale batches stay on the chip (see module docstring).
+    dev = dispatch.scan_device(10)
     assert dev is not None and dev.platform == "cpu"
+    assert dispatch.scan_device(1 << 20) is None
     # An explicit mesh pins the sharded path.
-    assert dispatch.scan_device(10, mesh=object(), threshold=11) is None
+    assert dispatch.scan_device(10, mesh=object()) is None
     # Large workloads stay on the accelerator.
-    assert dispatch.scan_device(1 << 30, threshold=11) is None
+    assert dispatch.scan_device(1 << 30) is None
     # threshold == 0 disables routing.
     assert dispatch.scan_device(10, threshold=0) is None
+    assert dispatch.scan_device(10, threshold=11) is not None
 
 
 def test_device_cache_per_device():
