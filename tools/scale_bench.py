@@ -106,8 +106,14 @@ def main():
     t0 = time.time()
     big.train(corpus, 32_000)
     dt = time.time() - t0
+    # Conformance gate: greedy BPE training is deterministic, so the 32k
+    # run's merges must extend the 8k run's (FastBPE.train delegates to
+    # NaiveBPE.train) — a fast wrong trainer would fail here.
+    n8 = len(tok.merges_list)
+    assert big.merges_list[:n8] == tok.merges_list, \
+        "32k merges do not extend the 8k run — refusing the number"
     print(f"NaiveBPE train @32k vocab: {dt:.1f}s "
-          f"({len(big.merges_list)} merges, "
+          f"({len(big.merges_list)} merges, prefix-checked vs the 8k run, "
           f"{nbytes/dt/1e6:.3f} MB/s)", flush=True)
 
 

@@ -113,6 +113,18 @@ def main():
             return recs["a"]
         res[f"{tag}_block_step_ms"] = _bench(block) / K * 1e3
 
+        # the WordPiece block at the same width (extra costs per step:
+        # candidate-compaction sort + exact-double scoring + the "##"
+        # merged-hash branch); per-step WP/BPE ratio localizes the gap
+        cap_wp = _cand_cap(F - 1)
+
+        def wp_block():
+            st, recs = flat_train_steps(*args, K=K, narrow=narrow,
+                                        sym_cap=sym_cap, wordpiece=True,
+                                        cand_cap=cap_wp, w32=True)
+            return recs["a"]
+        res[f"{tag}_wp_block_step_ms"] = _bench(wp_block) / K * 1e3
+
         # the two per-step sorts, timed standalone
         res[f"{tag}_agg_ms"] = _bench(
             lambda: jit_agg(fs, wid, wgt, narrow=narrow, w32=True)[0]) * 1e3
@@ -125,6 +137,17 @@ def main():
         res[f"{tag}_compact_ms"] = _bench(
             lambda: jit_compact(k_s, p_s, rt, ic, cap=cap,
                                 narrow=narrow)[0]) * 1e3
+
+        # exact-double scoring over the compacted candidates, standalone
+        from subword_tokenizers_tpu.ops.pairstats import wp_score_bits
+        ck, cp, cc, cmask, _ = jit_compact(k_s, p_s, rt, ic, cap=cap,
+                                           narrow=narrow)
+        sfq = jnp.ones(sym_cap + 1, dtype=jnp.int32) * 7
+        jax.block_until_ready((ck, cc, cmask, sfq))
+        jit_score = jax.jit(wp_score_bits, static_argnames=("narrow",
+                                                            "wide_score"))
+        res[f"{tag}_score_ms"] = _bench(
+            lambda: jit_score(ck, cc, cmask, sfq, narrow=narrow)) * 1e3
 
         # raw op costs at width F
         ki = jnp.asarray(np.random.default_rng(0).integers(
