@@ -7,6 +7,16 @@ prints LAST:
 
   {"metric": "<name>", "value": N, "unit": "MB/s", "vs_baseline": N}
 
+Structure (r4 — built so a driver kill at ANY point leaves valid output):
+- The TPU child runs FIRST (the persistent .jax_cache/ makes its compiles
+  warm); the CPU child runs second and fills in / beats whatever it can.
+- Each child appends finished metrics to a results file; the parent polls
+  that file WHILE the child runs and streams every new best-so-far metric
+  straight to stdout — tail-parseable at any kill point.
+- Children inherit stderr (no capture_output buffering).
+- Expensive tail metrics (8k / 32k trains) are budget-gated inside the
+  child via a deadline env var so they cannot starve the rest.
+
 Baselines are SAME-HOST: tools/baseline_host2.jsonl holds the reference
 implementation re-measured on this host by tools/rebaseline.py (the
 container was rescheduled onto slower hardware in round 2, so the
@@ -22,12 +32,12 @@ Metrics (reference baselines on the current host, BASELINE.host2.md):
   naivewp_train_MBps       vs 0.002096 (train-5K @ vocab 1000, 246.0 s)
   naivebpe_train_8k_MBps   vs 0.000362 (train-5K[:2500] @ vocab 8000,
                                         647.4 s — the scale config)
+  naivebpe_train_32k_MBps  vs reference throughput on its 500-merge 85k
+                           anchor run (tools/ref_anchor_85k.py) — the
+                           reference only gets FASTER per byte at fewer
+                           merges, so this baseline flatters the
+                           reference, not us
   fastwp_encode_MBps       vs 1.154   (headline)
-
-The default TPU backend's remote XLA compiles can take minutes per
-program; the child process appends each finished metric to a results file
-so a watchdog timeout keeps completed TPU numbers, and a CPU-backend
-child fills in whatever is missing.
 """
 import json
 import os
@@ -49,6 +59,7 @@ BASELINES = {
     "naivebpe_train_MBps": 484493 / 120.65 / 1e6,
     "naivewp_train_MBps": 484493 / 179.01 / 1e6,
     "naivebpe_train_8k_MBps": 0.000362,  # measured on host2 only
+    "naivebpe_train_32k_MBps": None,     # requires the host2 anchor run
 }
 
 _REBASE_MAP = {
@@ -60,6 +71,7 @@ _REBASE_MAP = {
     "ref_NaiveBPE_train_1000": "naivebpe_train_MBps",
     "ref_NaiveWordPiece_train_1000": "naivewp_train_MBps",
     "ref_NaiveBPE_train_8000_t5k2500": "naivebpe_train_8k_MBps",
+    "ref_NaiveBPE_train_85k_500": "naivebpe_train_32k_MBps",
 }
 
 
@@ -78,27 +90,44 @@ def _load_same_host_baselines():
 
 _load_same_host_baselines()
 
-# Emission order; the headline must be the last line on stdout.
+# Final emission order; the headline must be the last line on stdout.
 ORDER = ["fastbpe_encode_MBps", "naivebpe_encode_MBps",
          "naivewp_encode_MBps", "naivebpe_train_MBps",
          "naivewp_train_MBps", "naivebpe_train_8k_MBps",
-         "fastwp_encode_85k_MBps", "fastwp_encode_MBps"]
+         "naivebpe_train_32k_MBps", "fastwp_encode_85k_MBps",
+         "fastwp_encode_MBps"]
 REPLICAS = 16
-TPU_TIMEOUT_S = 3000
-CPU_TIMEOUT_S = 1500
+# Parent wall budget. The driver's own timeout is unknown but killed a
+# ~4500 s r3 run; streaming means a kill loses nothing measured, this
+# just decides how the parent splits time between the two children.
+TOTAL_BUDGET_S = int(os.environ.get("SWT_BENCH_BUDGET_S", "3300"))
+CPU_RESERVE_S = 700    # kept back for the CPU child
+CPU_MIN_S = 300
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ----------------------------------------------------------------- child
+
 def _emit(results_path, name, mbps):
+    base = BASELINES.get(name)
     rec = {"metric": name, "value": round(mbps, 3 if mbps >= 0.01 else 6),
            "unit": "MB/s",
-           "vs_baseline": round(mbps / BASELINES[name], 2)}
+           "vs_baseline": round(mbps / base, 2) if base else None}
     with open(results_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     log(f"[bench] {rec}")
+
+
+def _deadline():
+    v = os.environ.get("SWT_BENCH_CHILD_DEADLINE")
+    return float(v) if v else time.time() + 86400
+
+
+def _remaining():
+    return _deadline() - time.time()
 
 
 def _time_best(fn, trials):
@@ -128,13 +157,13 @@ def _bench_encode(results_path, name, tok_cls, res_name, corpus, golden,
 
 
 def _bench_train(results_path, name, tok_cls, corpus, nbytes, check,
-                 warm):
+                 warm, max_vocab=1000):
     tok = tok_cls()
     if warm:
-        tok.train(corpus, 1000)  # compile warmup (same shapes)
+        tok.train(corpus, max_vocab)  # compile warmup (same shapes)
         check(tok)
     t0 = time.perf_counter()
-    tok.train(corpus, 1000)
+    tok.train(corpus, max_vocab)
     dt = time.perf_counter() - t0
     check(tok)
     _emit(results_path, name, nbytes / dt / 1e6)
@@ -164,7 +193,7 @@ def measure(results_path):
     on_cpu = jax.default_backend() == "cpu"
     log(f"devices: {jax.devices()}")
 
-    # Headline first so a watchdog timeout still captures it.
+    # Headline first so any later kill still has it on record.
     import contextlib
     trace_dir = os.environ.get("SWT_TRACE")
     with (profiling.trace(trace_dir) if trace_dir
@@ -202,18 +231,13 @@ def measure(results_path):
                  t5k_bytes, check_wp, warm=not on_cpu)
     phase_report("naivewp_train")
 
-    # Remaining encoders on the conformance corpus.
-    _bench_encode(results_path, "fastbpe_encode_MBps", FastBPE,
-                  "FastBPE", corpus, golden["FastBPE"])
-    _bench_encode(results_path, "naivewp_encode_MBps", NaiveWP,
-                  "NaiveWordPiece", corpus, golden["NaiveWordPiece"])
-    _bench_encode(results_path, "naivebpe_encode_MBps", NaiveBPE,
-                  "NaiveBPE", corpus, golden["NaiveBPE"])
-
-    # Large-corpus FastWP encode: 7.4 MB — the device-bound regime.
-    # Conformance: batch output spot-checked against the host scan.
+    # Large-corpus FastWP encode: 7.4 MB — the device-bound regime where
+    # the compact-fetch TPU path must beat (or expose the link bound vs)
+    # the host executor. Conformance: batch output spot-checked against
+    # the host scan. Runs right after the trains so the TPU child records
+    # it even under a tight budget.
     big_path = os.path.join(ROOT, "data/train-85k.json")
-    if os.path.isfile(big_path):
+    if os.path.isfile(big_path) and _remaining() > 240:
         with open(big_path) as f:
             big = json.load(f)
         tok = FastWP()
@@ -229,32 +253,76 @@ def measure(results_path):
         tok.tokenize_batch(big)  # full-shape warmup
         best = _time_best(lambda: tok.tokenize_batch(big), 2)
         _emit(results_path, "fastwp_encode_85k_MBps", nbytes / best / 1e6)
+        phase_report("fastwp_encode_85k")
+
+    # Remaining encoders on the conformance corpus.
+    _bench_encode(results_path, "fastbpe_encode_MBps", FastBPE,
+                  "FastBPE", corpus, golden["FastBPE"])
+    _bench_encode(results_path, "naivewp_encode_MBps", NaiveWP,
+                  "NaiveWordPiece", corpus, golden["NaiveWordPiece"])
+    _bench_encode(results_path, "naivebpe_encode_MBps", NaiveBPE,
+                  "NaiveBPE", corpus, golden["NaiveBPE"])
 
     # Scale training: train-5K[:2500] @ vocab 8000 (the deep-vocab golden
-    # config, tests/golden/t5k2500_v8000_merges.json). Runs LAST so a
-    # watchdog timeout keeps every other metric; the reference takes
-    # 647 s at this config on this host (BASELINE.host2.md).
-    with open(os.path.join(ROOT, "tests/golden/"
-                           "t5k2500_v8000_merges.json")) as f:
-        gold_8k = [tuple(p) for p in json.load(f)]
-    t25 = train5k[:2500]
-    t25_bytes = sum(len(s.encode("utf-8")) for s in t25)
+    # config, tests/golden/t5k2500_v8000_merges.json). Budget-gated: the
+    # reference takes 647 s at this config on this host
+    # (BASELINE.host2.md); our CPU run costs ~340 s, the TPU run a warmup
+    # + timed pair.
+    need_8k = 420 if on_cpu else 600
+    if _remaining() > need_8k:
+        with open(os.path.join(ROOT, "tests/golden/"
+                               "t5k2500_v8000_merges.json")) as f:
+            gold_8k = [tuple(p) for p in json.load(f)]
+        t25 = train5k[:2500]
+        t25_bytes = sum(len(s.encode("utf-8")) for s in t25)
 
-    def check_8k(tok):
-        assert tok.merges_list == gold_8k, \
-            "naivebpe_train_8k: merges diverge from golden — refusing"
+        def check_8k(tok):
+            assert tok.merges_list == gold_8k, \
+                "naivebpe_train_8k: merges diverge from golden — refusing"
 
-    tok = NaiveBPE()
-    if not on_cpu:
-        tok.train(t25, 8000)  # compile warmup (same shapes)
-        check_8k(tok)
-    t0 = time.perf_counter()
-    tok.train(t25, 8000)
-    dt = time.perf_counter() - t0
-    check_8k(tok)
-    _emit(results_path, "naivebpe_train_8k_MBps", t25_bytes / dt / 1e6)
-    phase_report("naivebpe_train_8k")
+        _bench_train(results_path, "naivebpe_train_8k_MBps", NaiveBPE,
+                     t25, t25_bytes, check_8k, warm=not on_cpu,
+                     max_vocab=8000)
+        phase_report("naivebpe_train_8k")
+    else:
+        log(f"[bench] skipping naivebpe_train_8k "
+            f"({_remaining():.0f}s left < {need_8k}s)")
 
+    # North-star scale config (BASELINE.md configs[4] vocab axis):
+    # NaiveBPE @ 32k vocab on the 7.4 MB 85k corpus. TPU only (the CPU
+    # backend takes tens of minutes here), budget-gated, and
+    # ground-truth-gated: the first merges must equal the reference
+    # anchor golden produced by tools/ref_anchor_85k.py.
+    anchor = None
+    import glob
+    hits = sorted(glob.glob(os.path.join(
+        ROOT, "tests/golden/t85k_v*_merges.json")))
+    if hits:
+        with open(hits[-1]) as f:
+            anchor = [tuple(p) for p in json.load(f)]
+    if (not on_cpu and anchor and os.path.isfile(big_path)
+            and BASELINES.get("naivebpe_train_32k_MBps")
+            and _remaining() > 600):
+        with open(big_path) as f:
+            big = json.load(f)
+        big_bytes = sum(len(s.encode("utf-8")) for s in big)
+
+        def check_32k(tok):
+            n = len(anchor)
+            assert [tuple(p) for p in tok.merges_list[:n]] == anchor, \
+                "naivebpe_train_32k: diverges from reference anchor"
+
+        _bench_train(results_path, "naivebpe_train_32k_MBps", NaiveBPE,
+                     big, big_bytes, check_32k, warm=True,
+                     max_vocab=32_000)
+        phase_report("naivebpe_train_32k")
+    elif not on_cpu:
+        log(f"[bench] skipping naivebpe_train_32k (anchor={bool(anchor)} "
+            f"baseline={BASELINES.get('naivebpe_train_32k_MBps')} "
+            f"remaining={_remaining():.0f}s)")
+
+
+# ---------------------------------------------------------------- parent
 
 def _read_results(path):
     out = {}
@@ -268,33 +336,60 @@ def _read_results(path):
     return out
 
 
-def _run_child(backend: str, timeout_s: int, results_path: str):
+class _Stream:
+    """Best-so-far metric set, streamed to stdout the moment a child
+    lands a new or improved number — the driver takes the last stdout
+    line, so output is valid at any kill point."""
+
+    def __init__(self):
+        self.best = {}
+
+    def absorb(self, path):
+        for m, rec in _read_results(path).items():
+            cur = self.best.get(m)
+            if cur is None or rec["value"] > cur["value"]:
+                self.best[m] = rec
+                print(json.dumps(rec), flush=True)
+
+
+def _run_child(backend: str, timeout_s: float, results_path: str,
+               stream: _Stream):
     env = dict(os.environ)
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
-    elif env.get("JAX_PLATFORMS") == "axon":
-        # The shell profile exports JAX_PLATFORMS=axon, but the axon
-        # plugin registers its platform as 'tpu' (observed after the r3
-        # host/plugin update) — the stale name makes jax fail at backend
-        # init. Unset and let jax auto-pick the TPU.
-        del env["JAX_PLATFORMS"]
+    else:
+        if env.get("JAX_PLATFORMS") == "axon":
+            # The shell profile exports JAX_PLATFORMS=axon, but the axon
+            # plugin registers its platform as 'tpu' (observed after the
+            # r3 host/plugin update) — the stale name makes jax fail at
+            # backend init. Unset and let jax auto-pick the TPU.
+            del env["JAX_PLATFORMS"]
+        # Ask #2 (VERDICT r3): the TPU numbers ship with their per-phase
+        # link budget on stderr.
+        env.setdefault("SWT_PROFILE", "1")
+    env["SWT_BENCH_CHILD_DEADLINE"] = str(time.time() + timeout_s)
+    log(f"[bench] {backend} child: budget {timeout_s:.0f}s")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure",
+         results_path],
+        env=env, cwd=ROOT, stdout=subprocess.DEVNULL)  # stderr inherited
+    t_end = time.time() + timeout_s + 60  # grace over the child's gate
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--measure",
-             results_path],
-            env=env, timeout=timeout_s, capture_output=True, text=True,
-            cwd=ROOT)
-        sys.stderr.write(proc.stderr[-4000:])
-        if proc.returncode != 0:
-            log(f"[bench] {backend} child exited {proc.returncode}")
-    except subprocess.TimeoutExpired as e:
-        if e.stderr:
-            err = e.stderr if isinstance(e.stderr, str) else \
-                e.stderr.decode(errors="replace")
-            sys.stderr.write(err[-4000:])
-        log(f"[bench] {backend} measurement timed out after {timeout_s}s "
-            f"(keeping completed metrics)")
-    return _read_results(results_path)
+        while proc.poll() is None:
+            stream.absorb(results_path)
+            if time.time() > t_end:
+                proc.kill()
+                log(f"[bench] {backend} child killed after "
+                    f"{timeout_s:.0f}s (keeping completed metrics)")
+                break
+            time.sleep(1.0)
+        proc.wait(timeout=30)
+    except Exception as e:
+        log(f"[bench] {backend} child supervision error: {e}")
+        proc.kill()
+    stream.absorb(results_path)
+    if proc.returncode not in (0, None):
+        log(f"[bench] {backend} child exited {proc.returncode}")
 
 
 def main():
@@ -304,30 +399,31 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         measure(sys.argv[sys.argv.index("--measure") + 1])
         return
+    t_start = time.time()
+    deadline = t_start + TOTAL_BUDGET_S
+    stream = _Stream()
     with tempfile.TemporaryDirectory() as td:
         # Both executors measure every metric (each conformance-gated);
-        # the best wins per metric. Training wins on the TPU (~70x the
-        # reference); the encode scan is latency-bound and wins on the
-        # host cores — and the default (axon) process AOT-compiles even
-        # its CPU executables with mismatched machine features, so the
-        # pure-CPU child is the honest host number. CPU runs FIRST: it
-        # always completes, so a full metric set exists even if the
-        # caller's budget expires while the TPU child is absorbing cold
-        # remote compiles (~6 min/program when the persistent cache was
-        # lost, e.g. after a container reschedule).
-        cpu_res = _run_child("cpu", CPU_TIMEOUT_S,
-                             os.path.join(td, "cpu.jsonl"))
-        tpu_res = _run_child("default", TPU_TIMEOUT_S,
-                             os.path.join(td, "tpu.jsonl"))
-        results = dict(cpu_res)
-        for m, rec in tpu_res.items():
-            if m not in results or rec["value"] > results[m]["value"]:
-                results[m] = rec
+        # the best wins per metric. Training wins on the TPU (~60x the
+        # reference); small-batch encode is latency-bound and wins on
+        # the host cores. TPU child runs FIRST: its compiles are warm
+        # via the persistent .jax_cache/, its numbers are the point of
+        # the framework, and streaming means nothing is lost if the
+        # caller's budget expires during the CPU child.
+        tpu_budget = max(300.0, deadline - time.time() - CPU_RESERVE_S)
+        _run_child("default", tpu_budget, os.path.join(td, "tpu.jsonl"),
+                   stream)
+        cpu_budget = max(CPU_MIN_S, deadline - time.time())
+        _run_child("cpu", cpu_budget, os.path.join(td, "cpu.jsonl"),
+                   stream)
+    results = stream.best
     if "fastwp_encode_MBps" not in results:
         raise SystemExit("benchmark failed on every backend")
+    # Final canonical block, headline last (repeats are fine — the
+    # driver takes the last line).
     for m in ORDER:
         if m in results:
-            print(json.dumps(results[m]))
+            print(json.dumps(results[m]), flush=True)
 
 
 if __name__ == "__main__":

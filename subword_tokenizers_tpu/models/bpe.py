@@ -34,7 +34,15 @@ from ..core.corpus import build_bpe_corpus, unique_words
 from ..core.symbols import SymbolTable
 from .base import SubwordTokenizer
 
-MAX_TOKENS_I33 = 1 << 33  # pair counts must fit the exact-select domain
+# Training domain ceiling, mirroring MAX_TOKENS_WP (models/wordpiece.py).
+# BPE selection is pure integer arithmetic — counts, cumsums and the
+# Σ-threshold certificate are exact in i64 far beyond this — so unlike
+# WordPiece (whose 2**52 bound is set by the 128-bit exact-double scorer)
+# the ceiling here is a conservative shared constant: per-pair counts stay
+# < 2**52, every i64 quantity (count sums, Σ t_i over devices, scaled
+# certificate bounds) keeps ≥ 11 bits of headroom. The reference has no
+# cap (source/bpe.py:50-112); 2**52 symbol occurrences is ~4 PB of text.
+MAX_TOKENS_BPE = 1 << 52
 
 
 def _merge_pass(pair: Tuple[str, str], word: List[str]) -> List[str]:
@@ -114,10 +122,10 @@ class NaiveBPE(SubwordTokenizer):
 
         total_tokens = int((np.array([len(w) for w in words],
                                      dtype=np.int64) * freq).sum())
-        if total_tokens >= MAX_TOKENS_I33:
+        if total_tokens >= MAX_TOKENS_BPE:
             raise ValueError(
                 "corpus exceeds the exact-selection domain "
-                f"({total_tokens} symbol occurrences >= 2**33)")
+                f"({total_tokens} symbol occurrences >= 2**52)")
 
         import jax.numpy as jnp
         from ..ops.merge import apply_merge
@@ -419,6 +427,21 @@ class NaiveBPE(SubwordTokenizer):
         from ..ops.fetch import fetch_compact, stack_sorted
 
         if self.mesh is not None or not words:
+            return None
+        import os
+
+        import jax
+        force = os.environ.get("SWT_COMPACT")
+        if force == "0":
+            return None
+        if force != "1" and jax.default_backend() == "cpu":
+            # The compact stream only pays where a transfer link exists:
+            # on the local CPU backend the stacked single program runs
+            # every slice at the global column width (no per-slice
+            # col-quantize) and the scatter+cumsum compaction saves no
+            # transfer — measured 0.76x the legacy sliced path for the
+            # BPE merge-loop encoder (tools/compact_bisect.py, r4; the
+            # WP matchers are a wash on CPU and keep compact on).
             return None
         inputs = self._encode_inputs(words)
         if inputs is None:

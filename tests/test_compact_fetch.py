@@ -93,6 +93,11 @@ def test_matcher_compact_is_production_and_exact(model, res, pan_tadeusz,
                                                  monkeypatch):
     import subword_tokenizers_tpu as swt
 
+    # The BPE merge-loop compact path is gated to non-CPU backends
+    # (tools/compact_bisect.py: 0.76x on the local CPU); force it on so
+    # its semantics are exercised under the test CPU backend the way the
+    # TPU backend runs it in production.
+    monkeypatch.setenv("SWT_COMPACT", "1")
     cls = getattr(swt, model)
     tok = cls()
     tok.load_resources(f"/root/reference/resources/pretrained/{res}")
@@ -113,11 +118,12 @@ def test_matcher_compact_is_production_and_exact(model, res, pan_tadeusz,
 
 @pytest.mark.parametrize("model,res", [("NaiveWP", "NaiveWordPiece"),
                                        ("FastBPE", "FastBPE")])
-def test_matcher_compact_equals_raw(model, res, pan_tadeusz):
+def test_matcher_compact_equals_raw(model, res, pan_tadeusz, monkeypatch):
     """Span-level identity between the compact stream and the padded
     matrix for the greedy-matcher and merge-loop encoders."""
     import subword_tokenizers_tpu as swt
 
+    monkeypatch.setenv("SWT_COMPACT", "1")
     cls = getattr(swt, model)
     tok = cls()
     tok.load_resources(f"/root/reference/resources/pretrained/{res}")
@@ -131,6 +137,26 @@ def test_matcher_compact_equals_raw(model, res, pan_tadeusz):
     for u in range(counts.size):
         assert (ids[starts[u]:starts[u] + counts[u]]
                 == out[u, :out_n[u]]).all(), words[u]
+
+
+def test_bpe_compact_gated_off_on_cpu_backend(pan_tadeusz, monkeypatch):
+    """On the local CPU backend the BPE merge-loop encoder must take the
+    legacy sliced path (per-slice col-quantize beats the stacked compact
+    program there — tools/compact_bisect.py), unless forced."""
+    import jax
+
+    from subword_tokenizers_tpu import FastBPE
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-backend-specific gate")
+    monkeypatch.delenv("SWT_COMPACT", raising=False)
+    tok = FastBPE()
+    tok.load_resources("/root/reference/resources/pretrained/FastBPE")
+    words = sorted({w for s in pan_tadeusz[:40]
+                    for w, _ in tok.preprocessing([s])[0]})
+    assert tok._encode_unique_compact(words) is None
+    monkeypatch.setenv("SWT_COMPACT", "0")
+    assert tok._encode_unique_compact(words) is None
 
 
 def test_compact_empty_and_tiny(fastwp):

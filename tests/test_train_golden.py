@@ -105,3 +105,33 @@ def test_wp_deep_vocab_8000(train_5k):
     tok = NaiveWP()
     tok.train(train_5k[:2500], max_vocab=8000)
     assert tok.vocab == golden
+
+
+@pytest.mark.slow
+def test_bpe_85k_anchor_prefix():
+    """Ground-truth anchor for the synthesized scale corpus: the
+    reference trainer was run once on data/train-85k.json
+    (tools/ref_anchor_85k.py -> tests/golden/t85k_v578_merges.json);
+    our trainer's first merges on the same corpus must reproduce it.
+    A short vocab suffices (greedy training is deterministic, so our
+    merges here are a prefix of any deeper run's); the full 500-merge
+    prefix is asserted on TPU by tools/scale_bench.py."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits = sorted(glob.glob(
+        os.path.join(root, "tests/golden/t85k_v*_merges.json")))
+    assert hits, "run tools/ref_anchor_85k.py first"
+    with open(hits[-1]) as f:
+        anchor = [tuple(p) for p in json.load(f)]
+    with open(os.path.join(root, "data/train-85k.json")) as f:
+        corpus = json.load(f)
+    from subword_tokenizers_tpu import NaiveBPE
+    tok = NaiveBPE()
+    n = 60  # ~2 min on the 2-core CPU backend; full depth on TPU
+    tok.train(corpus, max_vocab=578 - 500 + n)
+    got = [tuple(p) for p in tok.merges_list]
+    assert len(got) == n
+    assert got == anchor[:n]
