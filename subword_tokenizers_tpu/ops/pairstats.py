@@ -43,7 +43,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .bitmath import div_double_bits, div_double_bits_wide, mul_53x53
+from .bitmath import (bitlen, bitlen128, div_double_bits,
+                      div_double_bits_wide, mul_53x53)
 
 # i64 path: symbol ids < 2^21 (≈2M distinct symbols).
 SYM_BITS = 21
@@ -223,6 +224,11 @@ def wp_score_bits(ck, cc, cmask, sym_freq, narrow: bool,
     return div_double_bits(c, fa * fb)
 
 
+def _prefilter_cap(cand_cap: int) -> int:
+    """Static capacity for the exponent-prefiltered scoring set."""
+    return min(max(2048, -(-(cand_cap // 16) // 1024) * 1024), cand_cap)
+
+
 def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
                    cand_cap=None, wide_score: bool = False):
     """Shared WordPiece winner selection over aggregated runs.
@@ -235,6 +241,18 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
     ``wide_score`` selects the 128-bit-denominator scorer (corpora with
     >= 2**26 total tokens). Returns (best_key, best_bits, best_fs,
     best_count).
+
+    Exponent prefilter (r4): the exact-double long division is the
+    dominant per-step cost and runs per candidate slot. A candidate's
+    score c/d lies in [2^(e-1), 2^(e+1)) for e = bitlen(c) - bitlen(d)
+    (a few shifts), so any candidate with e <= max_e - 2 has score
+    strictly below some e = max_e candidate's — it can never be the max
+    *value*. It could still TIE the winning *double* after rounding, but
+    only when the winning double is exactly 2^(max_e - 1) (a dropped
+    value < 2^(max_e-1) rounds to at most that; the winner rounds to at
+    least it) — that one case falls back to scoring every candidate
+    inside ``lax.cond``, as does prefilter overflow. Exactness is
+    unconditional; the prefilter trades cost only.
     """
     def full(_):
         bits = wp_score_bits(k_s, run_total, is_cand, sym_freq, narrow,
@@ -257,7 +275,48 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
                                 jnp.asarray(-1, dtype=cc.dtype)))
         return bk, bb, bf, cnt
 
-    return jax.lax.cond(ovf, full, compacted, None)
+    pf_cap = _prefilter_cap(cand_cap)
+    if pf_cap >= cand_cap:
+        return jax.lax.cond(ovf, full, compacted, None)
+
+    def prefiltered(_):
+        _, bits_c, space, sentinel, vmax = _consts(narrow)
+        a = jnp.where(cmask, (ck >> bits_c) & (space - 1),
+                      0).astype(jnp.int32)
+        b = jnp.where(cmask, ck & (space - 1), 0).astype(jnp.int32)
+        c = jnp.maximum(cc, 1).astype(jnp.int64)
+        fa = jnp.maximum(sym_freq[a].astype(jnp.int64), 1)
+        fb = jnp.maximum(sym_freq[b].astype(jnp.int64), 1)
+        if wide_score:
+            d_hi, d_lo = mul_53x53(fa, fb)
+            ld = bitlen128(d_hi, d_lo)
+        else:
+            ld = bitlen(fa * fb)
+        e = jnp.where(cmask, bitlen(c) - ld, jnp.int64(-(1 << 40)))
+        max_e = jnp.max(e)
+        keep = cmask & (e >= max_e - 1)
+
+        flag = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+        _, ks2, ps2, cs2 = jax.lax.sort((flag, ck, cp, cc), num_keys=1,
+                                        is_stable=True)
+        nkeep = jnp.sum(keep.astype(jnp.int32))
+        kv = jnp.arange(pf_cap, dtype=jnp.int32) < nkeep
+        ck2 = jnp.where(kv, ks2[:pf_cap], sentinel)
+        cp2 = jnp.where(kv, ps2[:pf_cap], jnp.asarray(vmax, ps2.dtype))
+        cc2 = jnp.where(kv, cs2[:pf_cap], 0)
+
+        sbits = wp_score_bits(ck2, cc2, kv, sym_freq, narrow, wide_score)
+        bk, bb, bf = _select(ck2, cp2, sbits, kv)
+        cnt = jnp.max(jnp.where((ck2 == bk) & kv, cc2,
+                                jnp.asarray(-1, dtype=cc2.dtype)))
+        ovf2 = nkeep > pf_cap
+        # Winning double exactly 2^m: a dropped candidate could round up
+        # to tie it and win the insertion-order tie-break.
+        boundary = (bb > 0) & ((bb & ((jnp.int64(1) << 52) - 1)) == 0)
+        return jax.lax.cond(ovf2 | boundary, compacted,
+                            lambda _: (bk, bb, bf, cnt), None)
+
+    return jax.lax.cond(ovf, full, prefiltered, None)
 
 
 @partial(jax.jit, static_argnames=("sym_cap", "narrow", "cand_cap",

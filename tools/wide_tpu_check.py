@@ -13,10 +13,14 @@ the TPU and diff the outputs (they must be bit-identical).
 Usage: python tools/wide_tpu_check.py [K] [--bpe]
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 
 def main():
