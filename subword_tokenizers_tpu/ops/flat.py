@@ -69,6 +69,126 @@ def flat_aggregate(fs, wid, wgt, narrow: bool, w32: bool = False):
     return _run_aggregate(keys, pos, w, narrow)
 
 
+def _shift_up(x, k, fill):
+    """x[i + k] with out-of-range slots filled (static k)."""
+    return jnp.concatenate(
+        [x[k:], jnp.full((k,), fill, x.dtype)])
+
+
+def _shift_down(x, k, fill):
+    """x[i - k] with out-of-range slots filled (static k)."""
+    return jnp.concatenate(
+        [jnp.full((k,), fill, x.dtype), x[:-k]])
+
+
+def compact_flat(fs, wid, wgt):
+    """Left-compact live slots, preserving scan order (stable sort by
+    liveness — payloads IN the sort; see the gather note in
+    :func:`flat_apply`)."""
+    livekey = jnp.where(fs >= 0, jnp.int32(0), jnp.int32(1))
+    _, cfs, cwid, cwgt = jax.lax.sort((livekey, fs, wid, wgt),
+                                      num_keys=1, is_stable=True)
+    return cfs, cwid, cwgt
+
+
+def skip_overflow(fs, wid, S: int):
+    """True when some live slot's next live neighbour is further than
+    ``S + 1`` slots away (and a later live slot exists at all) — the
+    skip-window adjacency of :func:`skip_next` would then MISS a pair, so
+    the caller must compact first. Conservative across words (a >S dead
+    gap between words also triggers), which only costs an extra
+    compaction, never correctness."""
+    live = fs >= 0
+    found = jnp.zeros_like(live)
+    for k in range(1, S + 2):
+        found = found | _shift_up(live, k, False)
+    suffix = jnp.flip(jax.lax.cummax(jnp.flip(live.astype(jnp.int32))))
+    later = _shift_up(suffix, 1, jnp.int32(0)) > 0
+    return jnp.any(live & later & ~found)
+
+
+def skip_next(fs, wid, S: int):
+    """(nsym, nwid): symbol/word of each slot's nearest LIVE successor
+    within ``S + 1`` slots (-1 / WID_PAD when none). With per-step
+    left-compaction deferred, dead slots accumulate between live
+    neighbours; this select chain recovers pair adjacency without a
+    gather (random gathers are the slowest op class on this TPU)."""
+    F = fs.shape[0]
+    nsym = jnp.full((F,), -1, jnp.int32)
+    nwid = jnp.full((F,), WID_PAD, jnp.int32)
+    for k in range(1, S + 2):
+        cs = _shift_up(fs, k, jnp.int32(-1))
+        cw = _shift_up(wid, k, WID_PAD)
+        take = (nsym < 0) & (cs >= 0)
+        nsym = jnp.where(take, cs, nsym)
+        nwid = jnp.where(take, cw, nwid)
+    return nsym, nwid
+
+
+def skip_prev_select(fs, S: int, payload, fill):
+    """payload value at each slot's nearest LIVE predecessor within
+    ``S + 1`` slots (``fill`` when none)."""
+    F = fs.shape[0]
+    out = jnp.full((F,), fill, payload.dtype)
+    done = jnp.zeros((F,), bool)
+    for k in range(1, S + 2):
+        cs = _shift_down(fs, k, jnp.int32(-1))
+        cp = _shift_down(payload, k, fill)
+        take = ~done & (cs >= 0)
+        out = jnp.where(take, cp, out)
+        done = done | (cs >= 0)
+    return out
+
+
+def flat_skip_aggregate(fs, wid, wgt, nsym, nwid, cpos, narrow: bool,
+                        w32: bool = False):
+    """(k_s, p_s, run_total, is_cand) over skip-window pairs.
+
+    Pair position (the first-seen tie-break key) is ``cpos`` — the slot's
+    COMPACTED index (cumsum of liveness) — so tie-break comparisons are
+    bit-identical to the compact-every-step path: deletion never reorders
+    surviving slots, it only shifts their indices, and ``cpos`` applies
+    exactly that shift. Dead slots share their predecessor's cpos but
+    carry sentinel keys and zero weight, so run aggregation is unaffected.
+    """
+    dt, bits, _, sentinel, _ = _consts(narrow)
+    valid = (fs >= 0) & (nsym >= 0) & (nwid == wid)
+    keys = jnp.where(valid,
+                     (fs.astype(dt) << bits) | nsym.astype(dt), sentinel)
+    pos = cpos.astype(dt)
+    w = jnp.where(fs >= 0, wgt, 0).astype(_wdtype(narrow, w32))
+    return _run_aggregate(keys, pos, w, narrow)
+
+
+def flat_skip_apply(fs, wid, wgt, nsym, nwid, cpos, a, b, new_id, S: int):
+    """Merge all non-overlapping (a, b) skip-adjacencies IN PLACE (the
+    consumed right slot becomes dead; no compaction). Same merge
+    semantics as :func:`flat_apply`; self-overlap parity runs on ``cpos``
+    so equal-symbol runs spanning dead slots behave as if compacted."""
+    live = fs >= 0
+    a = jnp.asarray(a, jnp.int32)
+    b = jnp.asarray(b, jnp.int32)
+    new_id = jnp.asarray(new_id, jnp.int32)
+    match = live & (fs == a) & (nsym == b) & (nwid == wid)
+
+    psym = skip_prev_select(fs, S, fs, jnp.int32(-2))
+    pwid = skip_prev_select(fs, S, wid, jnp.int32(-2))
+    change = (fs != psym) | (wid != pwid)
+    run_start_c = jax.lax.cummax(
+        jnp.where(change & live, cpos, jnp.int32(0)))
+    parity_ok = ((cpos - run_start_c) & 1) == 0
+    match = match & jnp.where(a == b, parity_ok, True)
+
+    pmatch = skip_prev_select(fs, S, match, False)
+    dead_new = live & pmatch
+    nfs = jnp.where(match, new_id, fs)
+    nfs = jnp.where(dead_new, jnp.int32(-1), nfs)
+    nwid2 = jnp.where(dead_new, WID_PAD, wid)
+    nwgt = jnp.where(dead_new, 0, wgt)
+    n_rep = jnp.sum(jnp.where(match, wgt, 0))
+    return nfs, nwid2, nwgt, n_rep
+
+
 def flat_apply(fs, wid, wgt, a, b, new_id):
     """Merge all non-overlapping (a, b) adjacencies and left-compact.
 

@@ -23,6 +23,7 @@ Per-step records returned: (a_id, b_id, new_id, matched, active).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -172,11 +173,12 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
 
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "cand_cap", "wide_score", "w32"))
+                                   "cand_cap", "wide_score", "w32",
+                                   "skip"))
 def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                      vocab_size, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
                      K, narrow, sym_cap, wordpiece, cand_cap=None,
-                     wide_score=False, w32=False):
+                     wide_score=False, w32=False, skip=0):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
     intra-word padding).
@@ -187,15 +189,38 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
     steps and updated incrementally from the merge's replacement weight —
     exactly equal to the recount (each replacement consumes one ``a`` and
     one ``b`` and produces one merged token). BPE carries it untouched.
+
+    ``skip > 0`` defers the per-step left-compaction (one of the two
+    full-width sorts each step): consumed slots stay dead in place, pair
+    adjacency is recovered by an ``skip+1``-slot select chain
+    (ops/flat.skip_next), and tie-break positions come from a liveness
+    cumsum, so selection is bit-identical to the compacted path. When a
+    live gap would exceed the window (detected exactly, pre-step), the
+    step compacts first inside ``lax.cond`` — correctness never depends
+    on the window. The returned state is compacted (the host shrink
+    slices a dead tail off between blocks).
     """
-    from .flat import flat_aggregate, flat_apply
+    from .flat import (compact_flat, flat_aggregate, flat_apply,
+                       flat_skip_aggregate, flat_skip_apply, skip_next,
+                       skip_overflow)
 
     def step(carry, _):
         (fs, wid, wgt, sym_freq, h1, h2, slen, n_sym, vocab_size,
          alive) = carry
 
-        k_s, p_s, run_total, is_cand = flat_aggregate(fs, wid, wgt, narrow,
-                                                       w32)
+        if skip:
+            ovf = skip_overflow(fs, wid, skip)
+            fs, wid, wgt = jax.lax.cond(
+                ovf, lambda t: compact_flat(*t), lambda t: t,
+                (fs, wid, wgt))
+            live32 = (fs >= 0).astype(jnp.int32)
+            cpos = jnp.cumsum(live32) - 1
+            nsym, nwid_nb = skip_next(fs, wid, skip)
+            k_s, p_s, run_total, is_cand = flat_skip_aggregate(
+                fs, wid, wgt, nsym, nwid_nb, cpos, narrow, w32)
+        else:
+            k_s, p_s, run_total, is_cand = flat_aggregate(
+                fs, wid, wgt, narrow, w32)
 
         (h1, h2, slen, n_sym, vocab_size, active, a, b, new_id,
          matched) = _select_and_unify(
@@ -204,10 +229,16 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
             narrow, sym_cap, wordpiece, cand_cap, wide_score)
 
-        nfs, nwid, nwgt, n_rep = flat_apply(fs, wid, wgt,
-                                            jnp.where(active, a, -3),
-                                            jnp.where(active, b, -3),
-                                            new_id)
+        if skip:
+            nfs, nwid, nwgt, n_rep = flat_skip_apply(
+                fs, wid, wgt, nsym, nwid_nb, cpos,
+                jnp.where(active, a, -3), jnp.where(active, b, -3),
+                new_id, skip)
+        else:
+            nfs, nwid, nwgt, n_rep = flat_apply(fs, wid, wgt,
+                                                jnp.where(active, a, -3),
+                                                jnp.where(active, b, -3),
+                                                new_id)
         if wordpiece:
             upd = jnp.where(active, n_rep, 0).astype(sym_freq.dtype)
             sym_freq = sym_freq.at[a].add(-upd).at[b].add(-upd) \
@@ -224,6 +255,9 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
     carry0 = (fs, wid, wgt, sym_freq, h1, h2, slen, n_sym, vocab_size,
               jnp.bool_(True))
     carry, recs = jax.lax.scan(step, carry0, None, length=K)
+    if skip:
+        cfs, cwid, cwgt = compact_flat(carry[0], carry[1], carry[2])
+        carry = (cfs, cwid, cwgt) + tuple(carry[3:])
     return carry, recs
 
 
@@ -251,10 +285,20 @@ def _cand_cap(n_pairs: int):
     return max(-(-(n_pairs // 8) // 1024) * 1024, 16384)
 
 
+def _default_skip() -> int:
+    """Deferred-compaction window (``SWT_SKIP_COMPACT`` overrides; 0
+    disables). See :func:`flat_train_steps` — cost-only, never
+    correctness."""
+    v = os.environ.get("SWT_SKIP_COMPACT")
+    if v is not None:
+        return max(int(v), 0)
+    return 12
+
+
 def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
               on_merge, K: int = 256, checkpoint_cb=None, progress_cb=None,
               flat: bool = True, wide_score: bool = False,
-              w32: bool = False):
+              w32: bool = False, skip: int = None):
     """Host driver for the K-step device loop.
 
     ``table`` is the live SymbolTable (vocabulary == its string set for
@@ -270,6 +314,8 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
     """
     import numpy as np
 
+    if skip is None:
+        skip = _default_skip() if flat else 0
     n, L = sym_dev.shape
     n0 = len(table)
     if n0 >= max_vocab:
@@ -321,7 +367,8 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                 return flat_train_steps(
                     c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8],
                     pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
-                    narrow, sym_cap, wordpiece, ccap, wide_score, w32)
+                    narrow, sym_cap, wordpiece, ccap, wide_score, w32,
+                    skip)
             return train_steps(
                 c[0], freq_dev, c[1], c[2], c[3], c[4], c[5], pw1_d,
                 pw2_d, sh1, sh2, jnp.int32(max_vocab), K, narrow,

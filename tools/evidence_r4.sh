@@ -23,6 +23,12 @@ run wide_check_tpu_bpe env -u JAX_PLATFORMS python3 tools/wide_tpu_check.py 24 -
 # Training-step anatomy (feeds the WP-vs-BPE gap work).
 run train_anatomy_tpu env -u JAX_PLATFORMS python3 tools/train_anatomy.py
 
+# Warm train-5K@1000 wall clock, skip-compaction on vs off (r4).
+run wp_gap_skip_tpu env -u JAX_PLATFORMS SWT_SKIP_COMPACT=12 \
+  python3 tools/wp_gap_probe.py
+run wp_gap_noskip_tpu env -u JAX_PLATFORMS SWT_SKIP_COMPACT=0 \
+  python3 tools/wp_gap_probe.py
+
 # Encode crossover: link budget + per-slice scan costs, both backends.
 run encode_crossover_cpu env JAX_PLATFORMS=cpu python3 tools/encode_crossover.py
 run encode_crossover_tpu env -u JAX_PLATFORMS python3 tools/encode_crossover.py

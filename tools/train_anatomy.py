@@ -125,6 +125,22 @@ def main():
             return recs["a"]
         res[f"{tag}_wp_block_step_ms"] = _bench(wp_block) / K * 1e3
 
+        # same blocks with the deferred-compaction window (r4): the
+        # per-step sort4 is replaced by select chains + a liveness cumsum
+        def block_skip():
+            st, recs = flat_train_steps(*args, K=K, narrow=narrow,
+                                        sym_cap=sym_cap, wordpiece=False,
+                                        w32=True, skip=12)
+            return recs["a"]
+        res[f"{tag}_block_skip_step_ms"] = _bench(block_skip) / K * 1e3
+
+        def wp_block_skip():
+            st, recs = flat_train_steps(*args, K=K, narrow=narrow,
+                                        sym_cap=sym_cap, wordpiece=True,
+                                        cand_cap=cap_wp, w32=True, skip=12)
+            return recs["a"]
+        res[f"{tag}_wp_block_skip_step_ms"] = _bench(wp_block_skip) / K * 1e3
+
         # the two per-step sorts, timed standalone
         res[f"{tag}_agg_ms"] = _bench(
             lambda: jit_agg(fs, wid, wgt, narrow=narrow, w32=True)[0]) * 1e3
@@ -166,6 +182,14 @@ def main():
             lambda: jax.jit(jnp.cumsum)(w3)) * 1e3
         res[f"{tag}_gather_ms"] = _bench(
             lambda: jax.jit(lambda k, i: k[i])(ki, idx)) * 1e3
+        # F-wide gather into a SMALL (1k-entry) table — the op a
+        # full-width WP exponent prefilter would need (sym_freq[a])
+        small = jnp.arange(sym_cap + 1, dtype=jnp.int32)
+        idx_small = jnp.asarray(np.random.default_rng(2).integers(
+            0, sym_cap, size=F, dtype=np.int32))
+        jax.block_until_ready((small, idx_small))
+        res[f"{tag}_gather_small_ms"] = _bench(
+            lambda: jax.jit(lambda k, i: k[i])(small, idx_small)) * 1e3
         res[f"{tag}_scatter_add_ms"] = _bench(
             lambda: jax.jit(lambda k, i, w: k.at[i].add(w))(ki, idx,
                                                             w3)) * 1e3
