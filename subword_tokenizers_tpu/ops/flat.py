@@ -91,17 +91,22 @@ def compact_flat(fs, wid, wgt):
     return cfs, cwid, cwgt
 
 
-def skip_overflow(fs, wid, S: int):
+def skip_overflow(fs, wid, S: int, nsym=None):
     """True when some live slot's next live neighbour is further than
     ``S + 1`` slots away (and a later live slot exists at all) — the
     skip-window adjacency of :func:`skip_next` would then MISS a pair, so
     the caller must compact first. Conservative across words (a >S dead
     gap between words also triggers), which only costs an extra
-    compaction, never correctness."""
+    compaction, never correctness. Pass ``nsym`` (a :func:`skip_next`
+    result for the same state) to reuse its found/not-found information
+    instead of re-deriving it."""
     live = fs >= 0
-    found = jnp.zeros_like(live)
-    for k in range(1, S + 2):
-        found = found | _shift_up(live, k, False)
+    if nsym is not None:
+        found = nsym >= 0
+    else:
+        found = jnp.zeros_like(live)
+        for k in range(1, S + 2):
+            found = found | _shift_up(live, k, False)
     suffix = jnp.flip(jax.lax.cummax(jnp.flip(live.astype(jnp.int32))))
     later = _shift_up(suffix, 1, jnp.int32(0)) > 0
     return jnp.any(live & later & ~found)
@@ -171,13 +176,20 @@ def flat_skip_apply(fs, wid, wgt, nsym, nwid, cpos, a, b, new_id, S: int):
     new_id = jnp.asarray(new_id, jnp.int32)
     match = live & (fs == a) & (nsym == b) & (nwid == wid)
 
-    psym = skip_prev_select(fs, S, fs, jnp.int32(-2))
-    pwid = skip_prev_select(fs, S, wid, jnp.int32(-2))
-    change = (fs != psym) | (wid != pwid)
-    run_start_c = jax.lax.cummax(
-        jnp.where(change & live, cpos, jnp.int32(0)))
-    parity_ok = ((cpos - run_start_c) & 1) == 0
-    match = match & jnp.where(a == b, parity_ok, True)
+    def with_parity(m):
+        # Self-merge (a == b) only: equal-symbol runs spanning dead slots
+        # keep merges at even in-run offsets, computed on cpos. Steps
+        # with a != b (the vast majority) skip these two select chains
+        # entirely — the cond predicate is a scalar.
+        psym = skip_prev_select(fs, S, fs, jnp.int32(-2))
+        pwid = skip_prev_select(fs, S, wid, jnp.int32(-2))
+        change = (fs != psym) | (wid != pwid)
+        run_start_c = jax.lax.cummax(
+            jnp.where(change & live, cpos, jnp.int32(0)))
+        parity_ok = ((cpos - run_start_c) & 1) == 0
+        return m & parity_ok
+
+    match = jax.lax.cond(a == b, with_parity, lambda m: m, match)
 
     pmatch = skip_prev_select(fs, S, match, False)
     dead_new = live & pmatch

@@ -174,11 +174,12 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
                                    "cand_cap", "wide_score", "w32",
-                                   "skip"))
+                                   "skip", "count_ovf"))
 def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                      vocab_size, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
                      K, narrow, sym_cap, wordpiece, cand_cap=None,
-                     wide_score=False, w32=False, skip=0):
+                     wide_score=False, w32=False, skip=0,
+                     count_ovf=False):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
     intra-word padding).
@@ -209,13 +210,23 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
          alive) = carry
 
         if skip:
-            ovf = skip_overflow(fs, wid, skip)
-            fs, wid, wgt = jax.lax.cond(
-                ovf, lambda t: compact_flat(*t), lambda t: t,
+            # One select chain; its not-found mask doubles as the
+            # overflow predicate. On overflow (rare — zero triggers on
+            # train-5K@1000 at skip=12, tools/skip_stats.py) compact and
+            # re-chain inside the cond.
+            nsym, nwid_nb = skip_next(fs, wid, skip)
+            ovf = skip_overflow(fs, wid, skip, nsym=nsym)
+
+            def _recompact(t):
+                cfs, cwid, cwgt = compact_flat(*t)
+                ns, nw = skip_next(cfs, cwid, skip)
+                return cfs, cwid, cwgt, ns, nw
+
+            fs, wid, wgt, nsym, nwid_nb = jax.lax.cond(
+                ovf, _recompact, lambda t: t + (nsym, nwid_nb),
                 (fs, wid, wgt))
             live32 = (fs >= 0).astype(jnp.int32)
             cpos = jnp.cumsum(live32) - 1
-            nsym, nwid_nb = skip_next(fs, wid, skip)
             k_s, p_s, run_total, is_cand = flat_skip_aggregate(
                 fs, wid, wgt, nsym, nwid_nb, cpos, narrow, w32)
         else:
@@ -249,6 +260,8 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                # live-slot count: lets the host shrink the flat arrays
                # between blocks (merges only ever consume slots)
                "n_live": jnp.sum((nfs >= 0).astype(jnp.int32))}
+        if count_ovf:  # diagnostics only (changes record shapes)
+            rec["ovf"] = ovf if skip else jnp.bool_(False)
         return ((nfs, nwid, nwgt, sym_freq, h1, h2, slen, n_sym,
                  vocab_size, alive & active), rec)
 
