@@ -369,10 +369,23 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                  jnp.bool_(True))
 
     cand_cap = None
+    use_cand_cap = True
     if wordpiece:
-        n_pairs = (int(carry[0].shape[0]) - 1 if flat
-                   else n * max(L - 1, 1))
-        cand_cap = _cand_cap(n_pairs)
+        # Candidate compaction trades a full-width stable sort for a
+        # narrow exact-double scoring set. On the local CPU backend that
+        # trade LOSES (measured 35.0 -> 27.1 s on train-5K[:1500]@600
+        # with compaction off — XLA:CPU's i64 division is native and the
+        # sort is the expensive op), so scoring runs full-width there.
+        # SWT_WP_CAND_CAP=1 forces it on, =0 forces it off.
+        force = os.environ.get("SWT_WP_CAND_CAP")
+        if force == "0":
+            use_cand_cap = False
+        elif force != "1" and jax.default_backend() == "cpu":
+            use_cand_cap = False
+        if use_cand_cap:
+            n_pairs = (int(carry[0].shape[0]) - 1 if flat
+                       else n * max(L - 1, 1))
+            cand_cap = _cand_cap(n_pairs)
 
     def _dispatch(c, ccap):
         with profiling.phase("train.device_block"):
@@ -418,7 +431,7 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                                       next_carry[1][:Fp],
                                       next_carry[2][:Fp]) \
                             + tuple(next_carry[3:])
-                    if wordpiece:
+                    if wordpiece and use_cand_cap:
                         # The width change recompiles anyway; shrink the
                         # candidate buffer (exact-double scoring cost)
                         # with it. Cost-only — wp_select_core falls back
