@@ -70,3 +70,25 @@ def test_train5k_slice_bitexact(cls):
         assert big.merges_list == ref.merges_list
     assert got.vocab == ref.vocab
     assert big.vocab == ref.vocab
+
+
+def test_wp_cand_cap_gate_bitexact():
+    """Forced compaction on vs off (the CPU-backend gate's two sides)
+    must produce identical vocabularies — wp_select_core shares one body
+    and the cap is a cost trade only."""
+    with open("/root/reference/data/train-5K.json") as f:
+        corpus = json.load(f)[:400]
+    old = os.environ.get("SWT_WP_CAND_CAP")
+    try:
+        os.environ["SWT_WP_CAND_CAP"] = "1"
+        on = NaiveWP()
+        on.train(corpus, 420)
+        os.environ["SWT_WP_CAND_CAP"] = "0"
+        off = NaiveWP()
+        off.train(corpus, 420)
+    finally:
+        if old is None:
+            del os.environ["SWT_WP_CAND_CAP"]
+        else:
+            os.environ["SWT_WP_CAND_CAP"] = old
+    assert on.vocab == off.vocab
