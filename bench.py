@@ -32,6 +32,8 @@ Metrics (reference baselines on the current host, BASELINE.host2.md):
   naivewp_train_MBps       vs 0.002096 (train-5K @ vocab 1000, 246.0 s)
   naivebpe_train_8k_MBps   vs 0.000362 (train-5K[:2500] @ vocab 8000,
                                         647.4 s — the scale config)
+  naivewp_train_8k_MBps    vs tools/baseline_host2.jsonl (same config,
+                                        WordPiece — the WP scale axis)
   naivebpe_train_32k_MBps  vs reference throughput on its 500-merge 85k
                            anchor run (tools/ref_anchor_85k.py) — the
                            reference only gets FASTER per byte at fewer
@@ -59,6 +61,7 @@ BASELINES = {
     "naivebpe_train_MBps": 484493 / 120.65 / 1e6,
     "naivewp_train_MBps": 484493 / 179.01 / 1e6,
     "naivebpe_train_8k_MBps": 0.000362,  # measured on host2 only
+    "naivewp_train_8k_MBps": None,       # requires the host2 WP 8k run
     "naivebpe_train_32k_MBps": None,     # requires the host2 anchor run
 }
 
@@ -71,6 +74,7 @@ _REBASE_MAP = {
     "ref_NaiveBPE_train_1000": "naivebpe_train_MBps",
     "ref_NaiveWordPiece_train_1000": "naivewp_train_MBps",
     "ref_NaiveBPE_train_8000_t5k2500": "naivebpe_train_8k_MBps",
+    "ref_NaiveWordPiece_train_8000_t5k2500": "naivewp_train_8k_MBps",
     "ref_NaiveBPE_train_85k_500": "naivebpe_train_32k_MBps",
 }
 
@@ -94,8 +98,8 @@ _load_same_host_baselines()
 ORDER = ["fastbpe_encode_MBps", "naivebpe_encode_MBps",
          "naivewp_encode_MBps", "naivebpe_train_MBps",
          "naivewp_train_MBps", "naivebpe_train_8k_MBps",
-         "naivebpe_train_32k_MBps", "fastwp_encode_85k_MBps",
-         "fastwp_encode_MBps"]
+         "naivewp_train_8k_MBps", "naivebpe_train_32k_MBps",
+         "fastwp_encode_85k_MBps", "fastwp_encode_MBps"]
 REPLICAS = 16
 # Parent wall budget. The driver's own timeout is unknown but killed a
 # ~4500 s r3 run; streaming means a kill loses nothing measured, this
@@ -111,11 +115,45 @@ def log(*a):
 
 # ----------------------------------------------------------------- child
 
-def _emit(results_path, name, mbps):
+# Set once at measure() start: was the persistent XLA compile cache empty
+# (a genuinely cold run pays 3-7 min per distinct jit shape through the
+# remote-compile tunnel — its numbers are not comparable to warm ones and
+# the record must say so).
+_COLD = [False]
+
+
+def _cache_is_cold() -> bool:
+    try:
+        return not any(os.scandir(os.path.join(ROOT, ".jax_cache")))
+    except OSError:
+        return True
+
+
+def _phase_split():
+    """Per-phase wall totals (ms) accumulated since the last profiling
+    reset, condensed for the metric record — this is what makes a
+    bad-link day distinguishable from a real regression in the artifact
+    itself (the two link phases are scan_fetch/fetch_records + the put
+    inside scan_dispatch; host work is native_prep/pack_u16/stitch)."""
+    from subword_tokenizers_tpu.benchmarks import profiling
+    if not profiling.enabled():
+        return None
+    out = {}
+    for k, v in profiling.report().items():
+        short = k.split(".", 1)[-1]
+        out[short] = round(out.get(short, 0.0) + v["total_s"] * 1e3, 1)
+    return out or None
+
+
+def _emit(results_path, name, mbps, phases=None):
     base = BASELINES.get(name)
     rec = {"metric": name, "value": round(mbps, 3 if mbps >= 0.01 else 6),
            "unit": "MB/s",
            "vs_baseline": round(mbps / base, 2) if base else None}
+    if phases:
+        rec["phases_ms"] = phases
+    if _COLD[0]:
+        rec["cold"] = True
     with open(results_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     log(f"[bench] {rec}")
@@ -131,16 +169,26 @@ def _remaining():
 
 
 def _time_best(fn, trials):
+    """Best wall time over ``trials`` runs + the best run's phase split
+    (per-trial profiling reset, so the split describes exactly the run
+    whose number is recorded)."""
+    from subword_tokenizers_tpu.benchmarks import profiling
     best = float("inf")
+    best_ph = None
     for t in range(trials):
+        if profiling.enabled():
+            profiling.reset()
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+            best_ph = _phase_split()
+    return best, best_ph
 
 
 def _bench_encode(results_path, name, tok_cls, res_name, corpus, golden,
-                  trials=3):
+                  trials=6):
     from subword_tokenizers_tpu import TOKENIZERS  # noqa: F401
     tok = tok_cls()
     tok.load_resources(
@@ -152,25 +200,33 @@ def _bench_encode(results_path, name, tok_cls, res_name, corpus, golden,
     big = [f"w{k} {s}" for k in range(REPLICAS) for s in corpus]
     nbytes = sum(len(s.encode("utf-8")) for s in big)
     tok.tokenize_batch(big)  # warmup at benchmark shape
-    best = _time_best(lambda: tok.tokenize_batch(big), trials)
-    _emit(results_path, name, nbytes / best / 1e6)
+    best, ph = _time_best(lambda: tok.tokenize_batch(big), trials)
+    _emit(results_path, name, nbytes / best / 1e6, phases=ph)
 
 
 def _bench_train(results_path, name, tok_cls, corpus, nbytes, check,
                  warm, max_vocab=1000):
+    from subword_tokenizers_tpu.benchmarks import profiling
     tok = tok_cls()
     if warm:
         tok.train(corpus, max_vocab)  # compile warmup (same shapes)
         check(tok)
+    if profiling.enabled():
+        profiling.reset()
     t0 = time.perf_counter()
     tok.train(corpus, max_vocab)
     dt = time.perf_counter() - t0
+    ph = _phase_split()
     check(tok)
-    _emit(results_path, name, nbytes / dt / 1e6)
+    _emit(results_path, name, nbytes / dt / 1e6, phases=ph)
 
 
 def measure(results_path):
     import jax
+    _COLD[0] = _cache_is_cold()
+    if _COLD[0]:
+        log("[bench] persistent compile cache is EMPTY — this is a COLD "
+            "run; records will carry \"cold\": true")
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
 
@@ -251,8 +307,9 @@ def measure(results_path):
                 "fastwp_85k: batch/host divergence — refusing to bench"
         nbytes = sum(len(s.encode("utf-8")) for s in big)
         tok.tokenize_batch(big)  # full-shape warmup
-        best = _time_best(lambda: tok.tokenize_batch(big), 2)
-        _emit(results_path, "fastwp_encode_85k_MBps", nbytes / best / 1e6)
+        best, ph = _time_best(lambda: tok.tokenize_batch(big), 3)
+        _emit(results_path, "fastwp_encode_85k_MBps", nbytes / best / 1e6,
+              phases=ph)
         phase_report("fastwp_encode_85k")
 
     # Remaining encoders on the conformance corpus.
@@ -268,13 +325,13 @@ def measure(results_path):
     # reference takes 647 s at this config on this host
     # (BASELINE.host2.md); our CPU run costs ~340 s, the TPU run a warmup
     # + timed pair.
+    t25 = train5k[:2500]
+    t25_bytes = sum(len(s.encode("utf-8")) for s in t25)
     need_8k = 420 if on_cpu else 600
     if _remaining() > need_8k:
         with open(os.path.join(ROOT, "tests/golden/"
                                "t5k2500_v8000_merges.json")) as f:
             gold_8k = [tuple(p) for p in json.load(f)]
-        t25 = train5k[:2500]
-        t25_bytes = sum(len(s.encode("utf-8")) for s in t25)
 
         def check_8k(tok):
             assert tok.merges_list == gold_8k, \
@@ -287,6 +344,30 @@ def measure(results_path):
     else:
         log(f"[bench] skipping naivebpe_train_8k "
             f"({_remaining():.0f}s left < {need_8k}s)")
+
+    # WordPiece at the same scale config (VERDICT r4 ask #4: the WP
+    # machinery that only matters at depth — 128-bit scorer, candidate
+    # cap, prefilter — previously had no driver-captured scale number).
+    # Golden-gated on the reference-generated 8k vocab; baseline-gated on
+    # the same-host reference measurement (tools/rebaseline_wp8k.py).
+    need_wp8k = 700 if on_cpu else 600
+    if BASELINES.get("naivewp_train_8k_MBps") and _remaining() > need_wp8k:
+        with open(os.path.join(ROOT, "tests/golden/"
+                               "t5k2500_v8000_wp_vocab.json")) as f:
+            gold_wp8k = set(json.load(f))
+
+        def check_wp8k(tok):
+            assert tok.vocab == gold_wp8k, \
+                "naivewp_train_8k: vocab diverges from golden — refusing"
+
+        _bench_train(results_path, "naivewp_train_8k_MBps", NaiveWP,
+                     t25, t25_bytes, check_wp8k, warm=not on_cpu,
+                     max_vocab=8000)
+        phase_report("naivewp_train_8k")
+    else:
+        log(f"[bench] skipping naivewp_train_8k (baseline="
+            f"{BASELINES.get('naivewp_train_8k_MBps')} "
+            f"remaining={_remaining():.0f}s)")
 
     # North-star scale config (BASELINE.md configs[4] vocab axis):
     # NaiveBPE @ 32k vocab on the 7.4 MB 85k corpus. TPU only (the CPU
@@ -364,9 +445,10 @@ def _run_child(backend: str, timeout_s: float, results_path: str,
             # r3 host/plugin update) — the stale name makes jax fail at
             # backend init. Unset and let jax auto-pick the TPU.
             del env["JAX_PLATFORMS"]
-        # Ask #2 (VERDICT r3): the TPU numbers ship with their per-phase
-        # link budget on stderr.
-        env.setdefault("SWT_PROFILE", "1")
+    # Every child profiles: the per-phase split rides inside each metric
+    # record (phases_ms), so a bad-link day is distinguishable from a
+    # real regression in the artifact itself (VERDICT r4 ask #5).
+    env.setdefault("SWT_PROFILE", "1")
     env["SWT_BENCH_CHILD_DEADLINE"] = str(time.time() + timeout_s)
     log(f"[bench] {backend} child: budget {timeout_s:.0f}s")
     proc = subprocess.Popen(

@@ -164,23 +164,33 @@ class NaiveWP(SubwordTokenizer):
             self._sel_stats = {"proven": 0, "compact": 0, "full": 0}
             self._topk_fallbacks = 0  # steps not settled by the certificate
 
+            # Testing/validation knob (mirrors NaiveBPE): pin selection to
+            # one exact fallback tier ('compact' | 'full') so the tiers —
+            # including the scaled-integer rounding-margin arithmetic that
+            # normally only fires on near-tie scores — can be exercised at
+            # real-corpus scale. Every tier is exact; the tiering trades
+            # communication only, never correctness.
+            force_tier = getattr(self, "_force_tier", None)
+
             def select(s, f):
                 # Tiered reduction (parallel/train.py): certificate-proven
                 # two-phase top-K, then exact compacted-runs gather, then
                 # full position gather (cap overflow only).
-                bk, bb, bf, bc, proven = sharded_wp_select_topk(
-                    self.mesh, s, f, sym_cap, narrow, cand_cap=cap_local,
-                    wide_score=wide_score, w32=w32)
-                if bool(proven):
-                    self._sel_stats["proven"] += 1
-                    return bk, bb, bf, bc
-                self._topk_fallbacks += 1
-                bk, bb, bf, bc, exact = sharded_wp_select_compact(
-                    self.mesh, s, f, sym_cap, narrow, run_cap,
-                    wide_score=wide_score, w32=w32)
-                if bool(exact):
-                    self._sel_stats["compact"] += 1
-                    return bk, bb, bf, bc
+                if force_tier is None:
+                    bk, bb, bf, bc, proven = sharded_wp_select_topk(
+                        self.mesh, s, f, sym_cap, narrow,
+                        cand_cap=cap_local, wide_score=wide_score, w32=w32)
+                    if bool(proven):
+                        self._sel_stats["proven"] += 1
+                        return bk, bb, bf, bc
+                    self._topk_fallbacks += 1
+                if force_tier != "full":
+                    bk, bb, bf, bc, exact = sharded_wp_select_compact(
+                        self.mesh, s, f, sym_cap, narrow, run_cap,
+                        wide_score=wide_score, w32=w32)
+                    if bool(exact):
+                        self._sel_stats["compact"] += 1
+                        return bk, bb, bf, bc
                 self._sel_stats["full"] += 1
                 return sharded_wp_select(self.mesh, s, f, sym_cap, narrow,
                                          cand_cap=cap_global,

@@ -7,6 +7,17 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS=cpu explicitly: the axon TPU plugin registers
+# itself regardless of the env var (observed r5 — `env JAX_PLATFORMS=cpu`
+# alone now lands on the TPU backend), so a caller asking for CPU must be
+# enforced through the config. Skipped silently if a backend is already
+# initialized (then the caller managed platforms itself).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 if not jax.config.jax_enable_x64:
     jax.config.update("jax_enable_x64", True)
 

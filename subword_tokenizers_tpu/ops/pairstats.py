@@ -171,6 +171,11 @@ def compact_cands(k_s, p_s, run_total, is_cand, cap: int, narrow: bool):
     callers MUST fall back to the full-width arrays.
     """
     _, _, _, sentinel, vmax = _consts(narrow)
+    # A cap beyond the array width is meaningless (callers size caps from
+    # *estimated* position counts, which can slightly exceed the real
+    # width — e.g. the shard-divisibility padding estimate in the model
+    # layer); clamp so the static slice below matches the mask shape.
+    cap = min(cap, k_s.shape[0])
     # Compaction by one more multi-operand sort: candidates float to the
     # front, then a static slice takes the first ``cap``. Sorts are fast
     # on this TPU; the two alternatives both lose — jnp.nonzero hides an

@@ -205,6 +205,15 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                        flat_skip_aggregate, flat_skip_apply, skip_next,
                        skip_overflow)
 
+    if skip and skip + 1 >= fs.shape[0]:
+        # The skip_next select chain shifts by up to skip+1 slots; a
+        # window that large relative to the flat width would build
+        # wrong-length concats deep inside the jit (opaque shape error).
+        # run_fused clamps before dispatch — this guards direct callers.
+        raise ValueError(
+            f"skip window {skip} too large for flat width {fs.shape[0]} "
+            f"(need skip + 1 < width)")
+
     def step(carry, _):
         (fs, wid, wgt, sym_freq, h1, h2, slen, n_sym, vocab_size,
          alive) = carry
@@ -301,10 +310,15 @@ def _cand_cap(n_pairs: int):
 def _default_skip() -> int:
     """Deferred-compaction window (``SWT_SKIP_COMPACT`` overrides; 0
     disables). See :func:`flat_train_steps` — cost-only, never
-    correctness."""
+    correctness. run_fused additionally clamps the window to the flat
+    width (the select chain needs skip + 1 < width)."""
     v = os.environ.get("SWT_SKIP_COMPACT")
     if v is not None:
-        return max(int(v), 0)
+        try:
+            return max(int(v), 0)
+        except ValueError:
+            raise ValueError(
+                f"SWT_SKIP_COMPACT must be an integer, got {v!r}") from None
     return 12
 
 
@@ -353,6 +367,11 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         sym_host = np.asarray(sym_dev)
         freq_host = np.asarray(freq_dev)
         fs, wid, wgt = build_flat(sym_host, freq_host, w32=(narrow or w32))
+        # Clamp the skip window to the smallest width any dispatch can
+        # see (the between-block shrink floors at _FLAT_MIN; build_flat
+        # pads to >= 1024) — an oversized SWT_SKIP_COMPACT must degrade
+        # to more compactions, not to a shape error inside the jit.
+        skip = min(skip, max(min(fs.shape[0], _FLAT_MIN) - 2, 0))
         # Initial per-symbol weights (host, exact integers); carried and
         # updated incrementally on device thereafter.
         sfreq = np.zeros(sym_cap + 1,
@@ -378,6 +397,11 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         # sort is the expensive op), so scoring runs full-width there.
         # SWT_WP_CAND_CAP=1 forces it on, =0 forces it off.
         force = os.environ.get("SWT_WP_CAND_CAP")
+        if force not in (None, "0", "1"):
+            # Silent fall-through here would quietly invalidate an A/B
+            # measurement ("true"/"2" looking like a forced setting).
+            raise ValueError(
+                f"SWT_WP_CAND_CAP must be '0' or '1', got {force!r}")
         if force == "0":
             use_cand_cap = False
         elif force != "1" and jax.default_backend() == "cpu":

@@ -124,6 +124,46 @@ def test_sharded_uniform_counts_fallback(mesh8):
     assert sharded._topk_fallbacks > 0
 
 
+def test_wp_sharded_tie_margin_fallback(mesh8):
+    """Score-tie-heavy WordPiece corpus: >TOPK distinct pairs per shard,
+    every pair scoring exactly 1.0 (count 1, unit symbol freqs), so the
+    winner is decided purely by insertion order. The scaled-integer
+    certificate's rounding margin (parallel/train.py) must refuse every
+    step — best score equals each shard's K-th-best bound, and a
+    non-nominated pair could tie the winning double and win the
+    insertion-order tie-break — and the exact fallback tier must still
+    match single-device training. This pins the margin path that r4
+    shipped without ever executing."""
+    from subword_tokenizers_tpu.parallel.train import TOPK
+    n = 8 * (TOPK + 8)  # every shard's local run count overflows top-K
+    corpus = [" ".join(chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1)
+                       for i in range(n))]
+    vocab_target = 2 * n + 1  # exactly one merge step
+    single = NaiveWP()
+    single.train(corpus, vocab_target)
+    sharded = NaiveWP(mesh=mesh8)
+    sharded.train(corpus, vocab_target)
+    assert sharded.vocab == single.vocab
+    assert sharded._topk_fallbacks > 0, sharded._sel_stats
+    assert sharded._sel_stats["proven"] == 0, sharded._sel_stats
+
+
+def test_wp_forced_tiers(mesh8):
+    """Pinning each WP fallback tier must reproduce single-device
+    training without touching the certificate (mirrors the BPE
+    forced-tier dryrun leg)."""
+    single = NaiveWP()
+    single.train(CORPUS, 120)
+    for tier in ("compact", "full"):
+        forced = NaiveWP(mesh=mesh8)
+        forced._force_tier = tier
+        forced.train(CORPUS, 120)
+        assert forced.vocab == single.vocab, tier
+        assert forced._sel_stats["proven"] == 0, (tier, forced._sel_stats)
+        if tier == "full":
+            assert forced._sel_stats["compact"] == 0, forced._sel_stats
+
+
 def test_sharded_wide_path(mesh8, pan_tadeusz):
     """Force the wide (i64) key path under the mesh by a large max_vocab
     bound; results must still match the single-device narrow path."""
