@@ -176,16 +176,19 @@ def compact_cands(k_s, p_s, run_total, is_cand, cap: int, narrow: bool):
     # width — e.g. the shard-divisibility padding estimate in the model
     # layer); clamp so the static slice below matches the mask shape.
     cap = min(cap, k_s.shape[0])
-    # Compaction by one more multi-operand sort: candidates float to the
-    # front, then a static slice takes the first ``cap``. Sorts are fast
-    # on this TPU; the two alternatives both lose — jnp.nonzero hides an
-    # int64 cumsum (emulated as a (u32,u32) reduce-window that fails to
-    # compile at corpus sizes: scoped-VMEM OOM), and an i32 cumsum +
-    # corpus-sized scatter prices the scatter (random-access writes are
-    # the slowest op class here).
-    flag = jnp.where(is_cand, jnp.int32(0), jnp.int32(1))
-    _, ks, ps, cs = jax.lax.sort((flag, k_s, p_s, run_total), num_keys=1,
-                                 is_stable=True)
+    # Compaction by one more sort: candidates float to the front, then a
+    # static slice takes the first ``cap``. Sorts are fast on this TPU;
+    # the two alternatives both lose — jnp.nonzero hides an int64 cumsum
+    # (emulated as a (u32,u32) reduce-window that fails to compile at
+    # corpus sizes: scoped-VMEM OOM), and an i32 cumsum + corpus-sized
+    # scatter prices the scatter (random-access writes are the slowest op
+    # class here). Non-candidates are folded into the sentinel key (one
+    # 3-operand unstable sort, not the 4-operand stable flag sort it used
+    # to be): downstream selection is by (score bits, min position) and
+    # positions are unique across runs, so the order of candidates within
+    # the compacted prefix is irrelevant to the selected winner.
+    kk = jnp.where(is_cand, k_s, sentinel)
+    ks, ps, cs = jax.lax.sort((kk, p_s, run_total), num_keys=1)
     ncand = jnp.sum(is_cand.astype(jnp.int32))
     valid = jnp.arange(cap, dtype=jnp.int32) < ncand
     ck = jnp.where(valid, ks[:cap], sentinel)
@@ -235,7 +238,8 @@ def _prefilter_cap(cand_cap: int) -> int:
 
 
 def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
-                   cand_cap=None, wide_score: bool = False):
+                   cand_cap=None, wide_score: bool = False,
+                   tournament: bool = False):
     """Shared WordPiece winner selection over aggregated runs.
 
     The single body behind wp_select, the fused train loop, and the
@@ -246,6 +250,12 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
     ``wide_score`` selects the 128-bit-denominator scorer (corpora with
     >= 2**26 total tokens). Returns (best_key, best_bits, best_fs,
     best_count).
+
+    ``tournament=True`` (narrow-score corpora only — it requires
+    ``fa*fb < 2**52``) selects via the cross-multiplication tournament
+    (ops/wp_tournament.py), with a ``lax.cond`` redo through this
+    function's exact-double path whenever the tournament's near-tie flag
+    fires — another pure cost trade, bit-exactness is unconditional.
 
     Exponent prefilter (r4): the exact-double long division is the
     dominant per-step cost and runs per candidate slot. A candidate's
@@ -266,6 +276,20 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
         cnt = jnp.max(jnp.where((k_s == bk) & is_cand, run_total,
                                 jnp.asarray(-1, dtype=run_total.dtype)))
         return bk, bb, bf, cnt
+
+    if tournament:
+        assert not wide_score, \
+            "tournament selection requires the narrow score domain"
+        from .wp_tournament import wp_tournament_select
+        bk, bb, bf, bc, risky = wp_tournament_select(
+            k_s, p_s, run_total, is_cand, sym_freq, narrow)
+
+        def exact_redo(_):
+            return wp_select_core(k_s, p_s, run_total, is_cand, sym_freq,
+                                  narrow, cand_cap, wide_score)
+
+        return jax.lax.cond(risky, exact_redo,
+                            lambda _: (bk, bb, bf, bc), None)
 
     if cand_cap is None or cand_cap >= k_s.shape[0]:
         return full(None)
@@ -301,9 +325,10 @@ def wp_select_core(k_s, p_s, run_total, is_cand, sym_freq, narrow: bool,
         max_e = jnp.max(e)
         keep = cmask & (e >= max_e - 1)
 
-        flag = jnp.where(keep, jnp.int32(0), jnp.int32(1))
-        _, ks2, ps2, cs2 = jax.lax.sort((flag, ck, cp, cc), num_keys=1,
-                                        is_stable=True)
+        # Same sentinel-key compaction trick as compact_cands: survivor
+        # order is irrelevant to the (bits, unique-position) selection.
+        kk2 = jnp.where(keep, ck, sentinel)
+        ks2, ps2, cs2 = jax.lax.sort((kk2, cp, cc), num_keys=1)
         nkeep = jnp.sum(keep.astype(jnp.int32))
         kv = jnp.arange(pf_cap, dtype=jnp.int32) < nkeep
         ck2 = jnp.where(kv, ks2[:pf_cap], sentinel)

@@ -68,7 +68,7 @@ def pow_tables(max_len: int):
 def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
                       n_sym, vocab_size, alive, pw1, pw2, sharp_h1,
                       sharp_h2, max_vocab, narrow, sym_cap, wordpiece,
-                      cand_cap=None, wide_score=False):
+                      cand_cap=None, wide_score=False, tournament=False):
     """Shared per-step core: winner selection + device string unification.
 
     ``sym_freq`` is the per-symbol frequency table (WordPiece scoring) or
@@ -80,7 +80,7 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
     if wordpiece:
         best_key, _, _, count_at = wp_select_core(
             k_s, p_s, run_total, is_cand, sym_freq, narrow, cand_cap,
-            wide_score)
+            wide_score, tournament)
     else:
         best_key, count_at, _ = _select(k_s, p_s, run_total, is_cand)
 
@@ -124,10 +124,12 @@ def _select_and_unify(k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen,
 
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
-                                   "cand_cap", "wide_score", "w32"))
+                                   "cand_cap", "wide_score", "w32",
+                                   "tournament"))
 def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
                 sharp_h1, sharp_h2, max_vocab, K, narrow, sym_cap,
-                wordpiece, cand_cap=None, wide_score=False, w32=False):
+                wordpiece, cand_cap=None, wide_score=False, w32=False,
+                tournament=False):
     """Run up to K merge steps on device (padded [n, L] corpus layout).
 
     sym: i32[n, L]; freq: weights; h1/h2/slen: i64[sym_cap] symbol hash
@@ -157,7 +159,7 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
          matched) = _select_and_unify(
             k_s, p_s, run_total, is_cand, sym_freq, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-            narrow, sym_cap, wordpiece, cand_cap, wide_score)
+            narrow, sym_cap, wordpiece, cand_cap, wide_score, tournament)
 
         new_sym = apply_merge(sym, jnp.where(active, a, -3),
                               jnp.where(active, b, -3), new_id)
@@ -174,12 +176,12 @@ def train_steps(sym, freq, h1, h2, slen, n_sym, vocab_size, pw1, pw2,
 
 @partial(jax.jit, static_argnames=("K", "narrow", "sym_cap", "wordpiece",
                                    "cand_cap", "wide_score", "w32",
-                                   "skip", "count_ovf"))
+                                   "skip", "count_ovf", "tournament"))
 def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
                      vocab_size, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
                      K, narrow, sym_cap, wordpiece, cand_cap=None,
                      wide_score=False, w32=False, skip=0,
-                     count_ovf=False):
+                     count_ovf=False, tournament=False):
     """K merge steps over the flat corpus layout (ops/flat.py) — same
     semantics as :func:`train_steps` with ~3x less sort volume (no
     intra-word padding).
@@ -247,7 +249,7 @@ def flat_train_steps(fs, wid, wgt, sym_freq, h1, h2, slen, n_sym,
             k_s, p_s, run_total, is_cand,
             sym_freq if wordpiece else None, h1, h2, slen, n_sym,
             vocab_size, alive, pw1, pw2, sharp_h1, sharp_h2, max_vocab,
-            narrow, sym_cap, wordpiece, cand_cap, wide_score)
+            narrow, sym_cap, wordpiece, cand_cap, wide_score, tournament)
 
         if skip:
             nfs, nwid, nwgt, n_rep = flat_skip_apply(
@@ -411,18 +413,43 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
                        else n * max(L - 1, 1))
             cand_cap = _cand_cap(n_pairs)
 
+    # Tournament selection (ops/wp_tournament.py): replaces candidate
+    # compaction + bulk exact-double scoring with a cross-multiplication
+    # halving reduction; near-tie steps redo through the exact-double
+    # path inside lax.cond. Narrow-score corpora only (fa*fb < 2**52).
+    # SWT_WP_TOURNAMENT=1 forces it on, =0 forces it off.
+    tournament = False
+    if wordpiece and not wide_score:
+        t = os.environ.get("SWT_WP_TOURNAMENT")
+        if t not in (None, "0", "1"):
+            raise ValueError(
+                f"SWT_WP_TOURNAMENT must be '0' or '1', got {t!r}")
+        tournament = t == "1"
+
+    # SWT_BLOCK_LOG=1: per-dispatch stderr line (width, wall) — the raw
+    # decomposition the speed-of-light analysis consumes
+    # (tools/train_sol.py); off by default.
+    block_log = os.environ.get("SWT_BLOCK_LOG") == "1"
+
     def _dispatch(c, ccap):
+        if block_log:
+            import sys
+            import time as _time
+            F_now = int(c[0].shape[0]) if flat else -1
+            print(f"[block] dispatch F={F_now} t={_time.perf_counter():.4f}",
+                  file=sys.stderr, flush=True)
         with profiling.phase("train.device_block"):
             if flat:
                 return flat_train_steps(
                     c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7], c[8],
                     pw1_d, pw2_d, sh1, sh2, jnp.int32(max_vocab), K,
                     narrow, sym_cap, wordpiece, ccap, wide_score, w32,
-                    skip)
+                    skip, tournament=tournament)
             return train_steps(
                 c[0], freq_dev, c[1], c[2], c[3], c[4], c[5], pw1_d,
                 pw2_d, sh1, sh2, jnp.int32(max_vocab), K, narrow,
-                sym_cap, wordpiece, ccap, wide_score, w32)
+                sym_cap, wordpiece, ccap, wide_score, w32,
+                tournament=tournament)
 
     # Pipeline depth 2: block k+1 is dispatched BEFORE block k's records
     # are fetched, so the link's fixed per-fetch latency (~40-60 ms on
@@ -467,6 +494,12 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         state, recs = inflight.pop(0)
         with profiling.phase("train.fetch_records"):
             recs_np = jax.device_get(recs)
+        if block_log:
+            import sys
+            import time as _time
+            print(f"[block] fetched t={_time.perf_counter():.4f} "
+                  f"n_live={int(recs_np['n_live'][-1]) if flat else -1}",
+                  file=sys.stderr, flush=True)
         steps_done = 0
         for k in range(K):
             if not bool(recs_np["active"][k]):

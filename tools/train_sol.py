@@ -1,0 +1,235 @@
+#!/usr/bin/env python3
+"""Training speed-of-light budget for the 32k scale config (VERDICT r4
+ask #1 — the analog of r4's encode link budget).
+
+Question: is the measured ~8.5 s warm NaiveBPE train (85k corpus,
+vocab 32k) near the floor set by the algorithm's unavoidable work, or
+is there 2-3x left?
+
+Method (everything measured on the same backend, same session):
+
+1. Build the production flat state for the 85k corpus (wide keys + i32
+   weights — vocab 32k overflows the narrow path) and replay the
+   between-block shrink schedule exactly as run_fused drives it
+   (halving grid, K=256, skip window): per grid width F, count the
+   blocks dispatched at F [mode=schedule — a real warm train with
+   SWT_BLOCK_LOG=1].
+2. At each grid width, time the fused K-step block standalone
+   (`block`) and the bare aggregation sort3 scanned K times (`sort`) —
+   the sort is the one op the chosen algorithm cannot avoid per step
+   (pair statistics must be re-aggregated after every merge; the skip
+   path already eliminated the second per-step sort).
+3. Bound = sum over blocks of K * sort3_per_step(F) + per-dispatch
+   overhead + record fetches. Achieved >= ~80% of bound => the config
+   is done; otherwise the per-phase gap names the next fix.
+
+Run (TPU):  env -u JAX_PLATFORMS PYTHONPATH=/root/repo:/root/.axon_site \
+                python tools/train_sol.py
+Prints one JSON dict; pipe stderr to keep the block log.
+"""
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _bench(fn, reps=3):
+    import jax
+    jax.block_until_ready(fn())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from subword_tokenizers_tpu.core.corpus import (build_bpe_corpus,
+                                                    unique_words)
+    from subword_tokenizers_tpu.core.symbols import SymbolTable
+    from subword_tokenizers_tpu.models.bpe import NaiveBPE
+    from subword_tokenizers_tpu.ops.flat import build_flat
+    from subword_tokenizers_tpu.ops.train_loop import (_default_skip,
+                                                       flat_train_steps,
+                                                       pow_tables,
+                                                       str_hashes)
+
+    res = {"backend": jax.default_backend()}
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    quick = "--quick" in sys.argv  # CPU smoke test of the tool itself
+    if quick:
+        with open("/root/reference/data/train-5K.json") as f:
+            corpus = json.load(f)[:1000]
+        max_vocab = 1_500
+    else:
+        with open(os.path.join(ROOT, "data/train-85k.json")) as f:
+            corpus = json.load(f)
+        max_vocab = 32_000
+    K = 256
+    skip = _default_skip()
+
+    # --- 1. real warm train with the block log -> shrink schedule ------
+    os.environ["SWT_BLOCK_LOG"] = "1"
+    widths_log = []
+    import io
+    import contextlib
+
+    class _Tee(io.StringIO):
+        def write(self, s):
+            if s.startswith("[block] dispatch"):
+                widths_log.append(int(s.split("F=")[1].split()[0]))
+            return sys.__stderr__.write(s)
+
+    tok = NaiveBPE()
+    tok.train(corpus, max_vocab)  # warmup (absorb any compiles)
+    n_merges = len(tok.merges_list)
+    tee = _Tee()
+    with contextlib.redirect_stderr(tee):
+        tok2 = NaiveBPE()
+        t0 = time.perf_counter()
+        tok2.train(corpus, max_vocab)
+        achieved = time.perf_counter() - t0
+    os.environ.pop("SWT_BLOCK_LOG", None)
+    assert tok2.merges_list == tok.merges_list
+    res["achieved_s"] = round(achieved, 3)
+    res["n_merges"] = n_merges
+    from collections import Counter
+    sched = Counter(widths_log)
+    res["schedule_blocks"] = dict(sorted(
+        (str(k), v) for k, v in sched.items()))
+
+    # --- 2. per-width costs -------------------------------------------
+    tok0 = NaiveBPE()
+    wb = tok0.preprocessing_batch(corpus)
+    words, freq, _ = unique_words(wb)
+    table = SymbolTable()
+    arrs = build_bpe_corpus(words, freq, table)
+    fs0, wid0, wgt0 = build_flat(np.asarray(arrs.sym),
+                                 np.asarray(arrs.freq), w32=True)
+    n0 = len(table)
+    sym_cap = max(max_vocab, n0) + 8
+    narrow = False          # 32k vocab: wide keys
+    w32 = True
+    h1 = np.zeros(sym_cap, dtype=np.int64)
+    h2 = np.zeros(sym_cap, dtype=np.int64)
+    sl = np.zeros(sym_cap, dtype=np.int64)
+    for i, s in enumerate(table.strings()):
+        h1[i], h2[i] = str_hashes(s)
+        sl[i] = len(s)
+    L = arrs.sym.shape[1]
+    pw1, pw2 = pow_tables(L + 4)
+    sh1, sh2 = str_hashes("##")
+    pw1_d, pw2_d = jnp.asarray(pw1), jnp.asarray(pw2)
+
+    from subword_tokenizers_tpu.ops.pairstats import _consts
+    dt, bits, _, sentinel, _ = _consts(narrow)
+
+    grid = sorted({w for w in sched}, reverse=True)
+    res["F_full"] = int(fs0.shape[0])
+    # bare-sort measurements are fresh compiles (3-7 min each through the
+    # remote tunnel): measure 3 widths, fit t = a + b*F (sort cost is
+    # linear in width at fixed depth), evaluate the fit on the full grid
+    sort_probe = sorted({grid[0], grid[len(grid) // 2], grid[-1]},
+                        reverse=True)
+    sort_ms = {}
+    block_ms = {}
+    for F in grid:
+        fs = jnp.asarray(fs0[:F])
+        wid = jnp.asarray(wid0[:F])
+        wgt = jnp.asarray(wgt0[:F])
+        sfreq = jnp.zeros(sym_cap + 1, dtype=jnp.int32)
+        jax.block_until_ready((fs, wid, wgt))
+        args = (fs, wid, wgt, sfreq, jnp.asarray(h1), jnp.asarray(h2),
+                jnp.asarray(sl), jnp.int32(n0), jnp.int32(n0),
+                pw1_d, pw2_d, sh1, sh2, jnp.int32(10**9))
+
+        def block():
+            st, recs = flat_train_steps(*args, K=K, narrow=narrow,
+                                        sym_cap=sym_cap, wordpiece=False,
+                                        w32=w32, skip=skip)
+            return recs["a"]
+        block_ms[F] = _bench(block) / K * 1e3
+
+        if F in sort_probe:
+            # bare aggregation sort3 (i64 keys + i32 pos/weights: the
+            # production wide-key operand mix), K iters in one program
+            keys = jnp.where(fs[:-1] >= 0, (fs[:-1].astype(dt) << bits)
+                             | jnp.maximum(fs[1:], 0).astype(dt), sentinel)
+            pos = jnp.arange(F - 1, dtype=jnp.int32)
+            w3 = wgt[:-1].astype(jnp.int32)
+            jax.block_until_ready((keys, pos, w3))
+
+            @jax.jit
+            def sortK(k, p, w):
+                def step(c, _):
+                    k2, p2, w2 = jax.lax.sort((c[0], c[1], c[2]),
+                                              num_keys=2)
+                    # rotate so the scan can't be folded away
+                    return (k2, p2 + 1, w2), k2[0]
+                c, out = jax.lax.scan(step, (k, p, w), None, length=K)
+                return out
+            sort_ms[F] = _bench(lambda: sortK(keys, pos, w3)) / K * 1e3
+
+    # linear fit of the bare sort cost over the probed widths
+    xs = np.array(sorted(sort_ms), dtype=np.float64)
+    ys = np.array([sort_ms[int(x)] for x in xs])
+    if len(xs) >= 2:
+        b_fit, a_fit = np.polyfit(xs, ys, 1)
+    else:
+        b_fit, a_fit = 0.0, float(ys[0])
+    sort_fit = {F: max(a_fit + b_fit * F, 1e-6) for F in grid}
+    res["block_step_ms"] = {str(k): round(v, 4)
+                            for k, v in block_ms.items()}
+    res["sort3_step_ms_measured"] = {str(k): round(v, 4)
+                                     for k, v in sort_ms.items()}
+    res["sort3_fit_a_ms"] = round(float(a_fit), 5)
+    res["sort3_fit_b_ms_per_elem"] = float(b_fit)
+
+    # --- 3. floors and the bound --------------------------------------
+    # dispatch floor: the smallest-width block, dispatched alone, minus
+    # its compute share ~ the per-dispatch round-trip cost
+    Fmin = grid[-1]
+    t_small = _bench(lambda: jax.block_until_ready(flat_train_steps(
+        jnp.asarray(fs0[:Fmin]), jnp.asarray(wid0[:Fmin]),
+        jnp.asarray(wgt0[:Fmin]), jnp.zeros(sym_cap + 1, jnp.int32),
+        jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(sl),
+        jnp.int32(n0), jnp.int32(n0), pw1_d, pw2_d, sh1, sh2,
+        jnp.int32(10**9), K=K, narrow=narrow, sym_cap=sym_cap,
+        wordpiece=False, w32=w32, skip=skip)[1]["a"]))
+    res["smallest_block_wall_ms"] = round(t_small * 1e3, 2)
+
+    n_blocks = sum(sched.values())
+    bound_sort = sum(sched[F] * K * sort_fit[F] for F in grid) / 1e3
+    bound_block = sum(sched[F] * K * block_ms[F] for F in grid) / 1e3
+    # per-block non-compute overhead: dispatch + record fetch, taken from
+    # the real run: achieved - sum(block walls) is attributed to the
+    # host/link loop; floor it at 0
+    res["n_blocks"] = n_blocks
+    res["bound_sort_only_s"] = round(bound_sort, 3)
+    res["bound_block_compute_s"] = round(bound_block, 3)
+    res["overhead_s"] = round(max(achieved - bound_block, 0.0), 3)
+    res["achieved_over_sort_bound"] = round(achieved / bound_sort, 2) \
+        if bound_sort else None
+    res["block_over_sort"] = round(bound_block / bound_sort, 2) \
+        if bound_sort else None
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
