@@ -455,13 +455,16 @@ class NaiveBPE(SubwordTokenizer):
         hkeys, hrank, hout = dev_cache.get(None)
         (sym_s, _), order, pad, B, sr = stack_sorted(
             (sym, wlen), (-1, 0), wlen)
+        # Static id-prefix: 6 tokens/word covers real vocabularies; an
+        # overflow only costs a second fetch (ops/fetch.fetch_compact).
+        nq = min(6 * B * sr, B * sr * sym_s.shape[2])
         with profiling.phase("encode.scan_dispatch"):
-            ids_d, out_n_d, flags_d, total_d = bpe_encode_stacked(
+            pref_d, ids_d, out_n_d, flags_d, total_d = bpe_encode_stacked(
                 jnp.asarray(sym_s), hkeys, hrank, hout, self._MONOTONE,
-                max_probe)
+                max_probe, nq)
         with profiling.phase("encode.scan_fetch"):
-            got = fetch_compact(ids_d, out_n_d, flags_d, total_d, order,
-                                pad)
+            got = fetch_compact(pref_d, ids_d, out_n_d, flags_d, total_d,
+                                order, pad)
         if got is None:
             return None
         ids, starts, counts = got

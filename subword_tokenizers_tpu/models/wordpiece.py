@@ -396,13 +396,17 @@ class NaiveWP(SubwordTokenizer):
         goto_dev, accept_dev = self._match_dev.get(None)
         (wmat_s, wlen_s), order, pad, B, sr = stack_sorted(
             (wmat, wlen), (trie.n_alpha, 0), wlen)
+        # Static id-prefix: 6 tokens/word covers real vocabularies; an
+        # overflow only costs a second fetch (ops/fetch.fetch_compact).
+        nq = min(6 * B * sr, B * sr * (wmat_s.shape[2] + 4))
         with profiling.phase("encode.scan_dispatch"):
-            ids_d, out_n_d, flags_d, total_d = wp_match_encode_stacked(
-                jnp.asarray(wmat_s), jnp.asarray(wlen_s), goto_dev,
-                accept_dev, int(trie.alpha[ord("#")]))
+            pref_d, ids_d, out_n_d, flags_d, total_d = \
+                wp_match_encode_stacked(
+                    jnp.asarray(wmat_s), jnp.asarray(wlen_s), goto_dev,
+                    accept_dev, int(trie.alpha[ord("#")]), nq)
         with profiling.phase("encode.scan_fetch"):
-            got = fetch_compact(ids_d, out_n_d, flags_d, total_d, order,
-                                pad)
+            got = fetch_compact(pref_d, ids_d, out_n_d, flags_d, total_d,
+                                order, pad)
         if got is None:
             return None
         ids, starts, counts = got
@@ -975,8 +979,7 @@ class FastWP(NaiveWP):
         import jax.numpy as jnp
 
         from ..core.batching import quantize_rows, slice_rows_for
-        from ..ops.wp_encode_e2e import (pack_node_info,
-                                         wp_e2e_scan_u16_stacked)
+        from ..ops.wp_encode_e2e import pack_node_info
 
         from ..core.dispatch import scan_device
 
@@ -1005,36 +1008,45 @@ class FastWP(NaiveWP):
         node_info, goto_dev = self._packed_cache[1].get(None)
 
         W, Lc = mat16.shape
+        if uslen.max(initial=0) >= (1 << 16):
+            return None  # length must fit the u16 wire length column
         order = np.argsort(uslen, kind="stable")
         R = quantize_rows(W)
         pad = R - W
         sr = min(R, slice_rows_for(R))
         B = R // sr
-        mat_p = np.zeros((R, Lc), dtype=np.uint16)  # zero rows scan to DONE
-        mat_p[pad:] = mat16[order]
-        len_p = np.zeros(R, dtype=np.int32)
-        len_p[pad:] = uslen[order]
+        # One-buffer wire format: length packed into the last column, so
+        # the put is a single link call; zero rows scan to DONE.
+        mat_p = np.zeros((R, Lc + 1), dtype=np.uint16)
+        mat_p[pad:, :Lc] = mat16[order]
+        mat_p[pad:, Lc] = uslen[order]
+        # Static id-prefix bound: 4 tokens/row covers real text (~2-3);
+        # an overflow only costs a second fetch of the full stream.
+        nq = min(4 * R, R * (Lc + 4))
         with profiling.phase("encode.scan_dispatch"):
-            ids_d, out_n_d, flags_d, total_d = wp_e2e_scan_u16_stacked(
-                jnp.asarray(mat_p.reshape(B, sr, Lc)),
-                jnp.asarray(len_p.reshape(B, sr)),
-                goto_dev, node_info, trie.root_p, trie.root_sharp,
-                self._unk_id, tuple(sharp_seq), n_pops)
+            from ..ops.wp_encode_e2e import wp_e2e_scan_u16_fused
+            pref_d, ids_d, out_n_d, flags_d, total_d = \
+                wp_e2e_scan_u16_fused(
+                    jnp.asarray(mat_p.reshape(B, sr, Lc + 1)),
+                    goto_dev, node_info, trie.root_p, trie.root_sharp,
+                    self._unk_id, tuple(sharp_seq), n_pops, nq)
         with profiling.phase("encode.scan_fetch"):
-            out_n, flags, total = jax.device_get(
-                (out_n_d, flags_d, total_d))
+            pref, out_n, flags, total = jax.device_get(
+                (pref_d, out_n_d, flags_d, total_d))
             if flags.any():
                 return None
             total = int(total)
             if total == 0:
                 ids = np.zeros(0, dtype=np.int32)
+            elif total <= nq:
+                ids = np.asarray(pref)[:total].astype(np.int32)
             else:
                 # Quantized prefix of the dense stream: pow2 grid bounds
                 # the number of compiled slice shapes.
-                nq = min(R * (Lc + 4),
-                         max(4096, 1 << (total - 1).bit_length()))
+                nq2 = min(R * (Lc + 4),
+                          max(4096, 1 << (total - 1).bit_length()))
                 ids = np.asarray(
-                    jax.device_get(ids_d[:nq]))[:total].astype(np.int32)
+                    jax.device_get(ids_d[:nq2]))[:total].astype(np.int32)
         starts_sorted = np.zeros(R, dtype=np.int64)
         np.cumsum(out_n[:-1], out=starts_sorted[1:])
         starts = np.empty(W, dtype=np.int64)

@@ -159,16 +159,18 @@ def bpe_encode(sym: jax.Array, hkeys: jax.Array, hrank: jax.Array,
     return final_sym
 
 
-@partial(jax.jit, static_argnames=("monotone", "max_probe"))
+@partial(jax.jit, static_argnames=("monotone", "max_probe", "nq"))
 def bpe_encode_stacked(sym, hkeys, hrank, hout, monotone: bool,
-                       max_probe: int):
+                       max_probe: int, nq: int = 0):
     """All length-sorted slices in one device program + compact output
     stream (see ops/fetch.py). sym: i32[B, S, L]. The per-slice column
     quantization of the host-sliced path is traded away (one width for
     all slices) — the merge loop's compute is microseconds on this
     chip while every host-sliced dispatch round-trips the remote link.
-    Returns (ids u16 dense stream, out_n i32[B*S], flags u8[B*S] = 0,
-    total)."""
+    Returns (ids_prefix u16[nq], ids u16 dense stream, out_n i32[B*S],
+    flags u8[B*S] = 0, total); the static-size prefix rides in the same
+    fetch call as the counts (the link charges per CALL — see
+    ops/fetch.fetch_compact)."""
     from .fetch import compact_ids
 
     def one(s):
@@ -180,4 +182,4 @@ def bpe_encode_stacked(sym, hkeys, hrank, hout, monotone: bool,
     out_n = jnp.sum((merged >= 0).astype(jnp.int32), axis=1)
     ids, total = compact_ids(merged, out_n)
     flags = jnp.zeros(B * S, jnp.uint8)
-    return ids, out_n, flags, total
+    return ids[:nq], ids, out_n, flags, total

@@ -11,9 +11,10 @@ e2e path, the NaiveWP greedy matcher, and the BPE merge-loop encoder):
    while_loop exiting at its own max row length);
 2. compact the per-row token prefixes into one dense u16 stream on
    device (:func:`compact_ids`);
-3. fetch (counts, flags, total) in one call, then a pow2-quantized
-   prefix of the stream in a second (:func:`fetch_compact`) — ~0.4 MB
-   in two latency charges instead of ~5 MB over dozens.
+3. fetch (static stream prefix, counts, flags, total) in ONE call
+   (:func:`fetch_compact`) — ~0.4 MB in a single latency charge
+   instead of ~5 MB over dozens; only a prefix overflow (rare: the
+   prefix budgets 6 tokens/word) pays a second call.
 
 Rows whose ``flags`` byte is nonzero make the caller fall back to its
 legacy padded path, which raises the reference-documented errors —
@@ -71,8 +72,13 @@ def stack_sorted(arrays, pad_values, lengths):
     return stacked, order, pad, B, sr
 
 
-def fetch_compact(ids_d, out_n_d, flags_d, total_d, order, pad):
-    """Two-call fetch + original-row-order reassembly.
+def fetch_compact(pref_d, ids_d, out_n_d, flags_d, total_d, order, pad):
+    """ONE-call fetch + original-row-order reassembly.
+
+    ``pref_d`` is the kernel's static-size prefix of the dense stream —
+    it rides in the same device_get as the counts, so the common case
+    (total <= prefix size) costs a single link latency charge; only an
+    overflowing batch pays a second fetch of the full stream.
 
     Returns (ids i32[total], starts i64[W], counts i32[W]) with
     starts/counts indexed by ORIGINAL row id, or None when any row's
@@ -81,7 +87,8 @@ def fetch_compact(ids_d, out_n_d, flags_d, total_d, order, pad):
     :func:`compact_ids` (device), ``order``/``pad`` from
     :func:`stack_sorted`.
     """
-    out_n, flags, total = jax.device_get((out_n_d, flags_d, total_d))
+    pref, out_n, flags, total = jax.device_get(
+        (pref_d, out_n_d, flags_d, total_d))
     out_n = np.asarray(out_n).reshape(-1)
     if np.asarray(flags).any():
         return None
@@ -90,6 +97,8 @@ def fetch_compact(ids_d, out_n_d, flags_d, total_d, order, pad):
     W = order.size
     if total == 0:
         ids = np.zeros(0, dtype=np.int32)
+    elif total <= pref.size:
+        ids = np.asarray(pref)[:total].astype(np.int32)
     else:
         n_max = int(ids_d.size)
         nq = min(n_max, max(4096, 1 << (total - 1).bit_length()))

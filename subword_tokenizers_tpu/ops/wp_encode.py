@@ -275,8 +275,9 @@ def wp_e2e_encode(acp, is_space, is_punc, slen, goto_table, fail,
     return st["out"][:, :CAP], st["ptr"], st["ovf"], stuck, st["crash"]
 
 
-@jax.jit
-def wp_match_encode_stacked(words, wlen, goto_table, accept, hash_aid):
+@partial(jax.jit, static_argnames=("nq",))
+def wp_match_encode_stacked(words, wlen, goto_table, accept, hash_aid,
+                            nq: int = 0):
     """All length-sorted slices in one device program + compact output
     stream (see ops/fetch.py — the remote link's per-call latency and
     bandwidth, not the matcher, bound this encode).
@@ -285,7 +286,9 @@ def wp_match_encode_stacked(words, wlen, goto_table, accept, hash_aid):
     DEVICE (out[0] = 0 == the UNK id interned first by
     models/wordpiece.NaiveWP._build_match_trie; count = 1), matching the
     host post-processing of :func:`wp_match_encode`. Returns
-    (ids u16 dense stream, out_n i32[B*S], flags u8[B*S] = ovf, total).
+    (ids_prefix u16[nq], ids u16 dense stream, out_n i32[B*S],
+    flags u8[B*S] = ovf, total) — the static prefix rides in the same
+    fetch call as the counts (ops/fetch.fetch_compact).
     """
     from .fetch import compact_ids
 
@@ -304,4 +307,4 @@ def wp_match_encode_stacked(words, wlen, goto_table, accept, hash_aid):
     out_n = jnp.where(unk, 1, out_n)
     flags = ovf.reshape(-1).astype(jnp.uint8)
     ids, total = compact_ids(out, out_n)
-    return ids, out_n, flags, total
+    return ids[:nq], ids, out_n, flags, total

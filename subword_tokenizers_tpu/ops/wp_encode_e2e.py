@@ -284,6 +284,33 @@ def wp_e2e_scan_u16_stacked(mat16, slen, goto_table, node_info, root_p,
     return ids, out_n, flags, total
 
 
+@partial(jax.jit, static_argnames=("n_pops", "sharp_seq", "nq"))
+def wp_e2e_scan_u16_fused(matx, goto_table, node_info, root_p,
+                          root_sharp, unk_id, sharp_seq, n_pops, nq):
+    """One-put / one-fetch variant of :func:`wp_e2e_scan_u16_stacked`.
+
+    The link's ~40-60 ms *per-call* latency dominates the compact
+    transfer volume (the 85k corpus moves ~2 MB total), so the wire
+    format folds everything into single calls each way:
+
+    - host->device: ``matx`` u16[B, S, T+1] — the char matrix with each
+      row's length packed into its LAST column (lengths < 2**16; the
+      caller gates), so the put is one buffer instead of two;
+    - device->host: the dense id stream's first ``nq`` elements ride in
+      the same fetch as (out_n, flags, total). ``nq`` is static (a
+      shape-derived bound, e.g. 4 tokens/row); when ``total > nq`` the
+      caller fetches the full stream separately — a cost-only fallback.
+
+    Returns (ids_prefix u16[nq], ids u16[B*S*(T+4)], out_n, flags,
+    total)."""
+    mat16 = matx[:, :, :-1]
+    slen = matx[:, :, -1].astype(jnp.int32)
+    ids, out_n, flags, total = wp_e2e_scan_u16_stacked(
+        mat16, slen, goto_table, node_info, root_p, root_sharp, unk_id,
+        sharp_seq, n_pops)
+    return ids[:nq], ids, out_n, flags, total
+
+
 def sliced_e2e_scan(pchar, slen, goto_table, node_info, root_p, root_sharp,
                     unk_id, sharp_seq, n_pops, n_alpha):
     """Host driver: length-sorted sliced scan (see core/batching.py) with
