@@ -967,11 +967,13 @@ class FastWP(NaiveWP):
     def _run_e2e_compact(self, mat16, uslen):
         """Compact-fetch scan: one device program over all length-sorted
         slices + on-device token-stream compaction
-        (ops/wp_encode_e2e.wp_e2e_scan_u16_stacked), so the remote link
-        moves ~0.4 MB in two transfer calls instead of ~5 MB of padded
-        i32 over dozens (the link's ~40-60 ms per-call latency and
-        ~15-30 MB/s bandwidth are the encode bottleneck — PERF.md r3
-        link budget). Returns (ids i32[n], starts i64[U], counts i32[U],
+        (ops/wp_encode_e2e.wp_e2e_scan_u16_fused), so the remote link
+        carries ONE put (lengths packed into the char matrix) and ONE
+        fetch (a static id-stream prefix riding with the counts) instead
+        of ~5 MB of padded i32 over dozens of calls — the link's
+        ~40-60 ms PER-CALL latency, not bandwidth, is the encode
+        bottleneck (PERF.md r3 link budget; the 85k corpus moves ~2 MB
+        total). Returns (ids i32[n], starts i64[U], counts i32[U],
         out_table), or None when a precondition fails or any row flags
         an error/hang — the caller falls back to the legacy padded path,
         which raises the exact reference-documented errors."""

@@ -417,6 +417,11 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
     # compaction + bulk exact-double scoring with a cross-multiplication
     # halving reduction; near-tie steps redo through the exact-double
     # path inside lax.cond. Narrow-score corpora only (fa*fb < 2**52).
+    # Backend default is MEASURED (train-5K, r5): the CPU backend wins
+    # 29% (XLA:CPU prices the full-width sort above the cross-mult
+    # tree: 71.5 -> 50.9 s on [:1500]@600), the TPU loses 2x (the
+    # 18-round emulated-i64 tree beats nothing there: warm 1.97 ->
+    # 3.87 s train-5K@1000) — so CPU on, TPU off.
     # SWT_WP_TOURNAMENT=1 forces it on, =0 forces it off.
     tournament = False
     if wordpiece and not wide_score:
@@ -424,7 +429,10 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         if t not in (None, "0", "1"):
             raise ValueError(
                 f"SWT_WP_TOURNAMENT must be '0' or '1', got {t!r}")
-        tournament = t == "1"
+        if t is None:
+            tournament = jax.default_backend() == "cpu"
+        else:
+            tournament = t == "1"
 
     # SWT_BLOCK_LOG=1: per-dispatch stderr line (width, wall) — the raw
     # decomposition the speed-of-light analysis consumes
