@@ -369,11 +369,14 @@ def run_fused(sym_dev, freq_dev, table, max_vocab, narrow, wordpiece,
         sym_host = np.asarray(sym_dev)
         freq_host = np.asarray(freq_dev)
         fs, wid, wgt = build_flat(sym_host, freq_host, w32=(narrow or w32))
-        # Clamp the skip window to the smallest width any dispatch can
-        # see (the between-block shrink floors at _FLAT_MIN; build_flat
-        # pads to >= 1024) — an oversized SWT_SKIP_COMPACT must degrade
-        # to more compactions, not to a shape error inside the jit.
-        skip = min(skip, max(min(fs.shape[0], _FLAT_MIN) - 2, 0))
+        # Clamp the skip window: (a) to the smallest width any dispatch
+        # can see (the between-block shrink floors at _FLAT_MIN;
+        # build_flat pads to >= 1024) so an oversized SWT_SKIP_COMPACT
+        # degrades to more compactions, not a shape error inside the
+        # jit; (b) to 64 absolutely — the select chains unroll at trace
+        # time (3 chains x window ops), and a window past 64 buys
+        # nothing (overflow rate is already ~0 at the default 12).
+        skip = min(skip, 64, max(min(fs.shape[0], _FLAT_MIN) - 2, 0))
         # Initial per-symbol weights (host, exact integers); carried and
         # updated incrementally on device thereafter.
         sfreq = np.zeros(sym_cap + 1,

@@ -164,3 +164,61 @@ def test_compact_empty_and_tiny(fastwp):
     assert fastwp.tokenize_batch(["  "]) == [[]]
     one = fastwp.tokenize_batch(["pan"])
     assert one == [["pan"]] or len(one[0]) >= 1
+
+
+def test_prefix_overflow_falls_back_to_second_fetch(fastwp):
+    """Rows emitting more than the static prefix budget (4 tokens/chunk
+    for the e2e scan) must still return the full exact stream via the
+    second fetch — the prefix is a transfer optimization only."""
+    # single-char vocab fragments force ~1 token per character
+    corpus = ["abcdefghij abcdefghijabcdefghij xyzxyzxyzxyz"] * 3
+    legacy = [fastwp.tokenize(s) for s in corpus]
+    got = fastwp.tokenize_batch(corpus)
+    assert got == legacy
+    assert all(len(r) >= 10 for r in got)  # well past 4 tokens/chunk
+
+
+def test_oversized_skip_window_is_clamped():
+    """SWT_SKIP_COMPACT larger than the flat width must degrade to more
+    compactions, not to a shape error inside the jit (ADVICE r4)."""
+    import os
+
+    from subword_tokenizers_tpu.models.bpe import NaiveBPE
+
+    old = os.environ.get("SWT_SKIP_COMPACT")
+    os.environ["SWT_SKIP_COMPACT"] = "99999"
+    try:
+        tok = NaiveBPE()
+        tok.train(["aaa aab abab banana!", "ab ab cd cd"], 40)
+    finally:
+        if old is None:
+            del os.environ["SWT_SKIP_COMPACT"]
+        else:
+            os.environ["SWT_SKIP_COMPACT"] = old
+    ref = NaiveBPE()
+    ref.train(["aaa aab abab banana!", "ab ab cd cd"], 40)
+    assert tok.merges_list == ref.merges_list
+
+
+def test_bad_env_values_raise():
+    import os
+
+    import pytest as _pytest
+
+    from subword_tokenizers_tpu.models.bpe import NaiveBPE
+    from subword_tokenizers_tpu.models.wordpiece import NaiveWP
+
+    for var, cls in (("SWT_SKIP_COMPACT", NaiveBPE),
+                     ("SWT_WP_CAND_CAP", NaiveWP),
+                     ("SWT_WP_TOURNAMENT", NaiveWP)):
+        old = os.environ.get(var)
+        os.environ[var] = "bogus"
+        try:
+            with _pytest.raises(ValueError, match=var):
+                tok = cls()
+                tok.train(["ab ab"], 30)
+        finally:
+            if old is None:
+                del os.environ[var]
+            else:
+                os.environ[var] = old
