@@ -140,3 +140,34 @@ def test_shrink_path_fuzz(seed, monkeypatch):
     mine_w = NaiveWP()
     mine_w.train(corpus, mv)
     assert mine_w.vocab == ref_w.vocab
+
+
+@needs_ref
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(12))
+def test_wp_tournament_train_fuzz_vs_reference(seed):
+    """Deep differential fuzz of the tournament selection path
+    (ops/wp_tournament.py, the CPU-backend default) against the LIVE
+    reference trainer: larger random corpora than the fast-suite fuzz,
+    score-tie-heavy by construction (small alphabet, repeated chars),
+    forced through the tournament regardless of backend."""
+    import os
+
+    rng = random.Random(7000 + seed)
+    corpus = ["".join(rng.choice("aabbccdde f.!")
+                      for _ in range(rng.randrange(20, 120)))
+              for _ in range(rng.randrange(2, 8))]
+    mv = rng.randrange(40, 160)
+    ref = make_reference("NaiveWordPiece")
+    ref.train(corpus, mv)
+    old = os.environ.get("SWT_WP_TOURNAMENT")
+    os.environ["SWT_WP_TOURNAMENT"] = "1"
+    try:
+        mine = NaiveWP()
+        mine.train(corpus, mv)
+    finally:
+        if old is None:
+            del os.environ["SWT_WP_TOURNAMENT"]
+        else:
+            os.environ["SWT_WP_TOURNAMENT"] = old
+    assert mine.vocab == ref.vocab, (seed, corpus)
