@@ -412,7 +412,14 @@ def _read_results(path):
             for line in f:
                 line = line.strip()
                 if line.startswith("{"):
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        # Torn tail line (the child is mid-append): skip;
+                        # the next poll re-reads it complete. Raising here
+                        # would hit _run_child's supervision except-branch
+                        # and KILL a healthy child.
+                        continue
                     out[rec["metric"]] = rec
     return out
 

@@ -15,8 +15,15 @@ import jax
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    except Exception as _e:
+        # A backend is already initialized (the importer touched jax
+        # first) — the CPU request can no longer be honored. Warn loudly:
+        # silently landing on the TPU both invalidates CPU measurements
+        # and risks a second TPU client wedging the remote-compile path.
+        import sys as _sys
+        print(f"[subword_tokenizers_tpu] WARNING: JAX_PLATFORMS=cpu "
+              f"could not be enforced ({_e}); the active backend may be "
+              f"the TPU", file=_sys.stderr)
 
 if not jax.config.jax_enable_x64:
     jax.config.update("jax_enable_x64", True)

@@ -23,6 +23,13 @@ Method (everything measured on the same backend, same session):
    overhead + record fetches. Achieved >= ~80% of bound => the config
    is done; otherwise the per-phase gap names the next fix.
 
+Known bias: the logged schedule counts blocks run_fused *dispatched*,
+which includes up to ~2 pipeline-depth no-op blocks drained past
+completion — the bound is inflated (and achieved/bound deflated) by
+~1-2% at the 32k config's ~126 blocks. Conservative in the flattering
+direction by under 2 points of the ratio; immaterial to the >=80%
+verdict.
+
 Run (TPU):  env -u JAX_PLATFORMS PYTHONPATH=/root/repo:/root/.axon_site \
                 python tools/train_sol.py
 Prints one JSON dict; pipe stderr to keep the block log.
